@@ -1,0 +1,69 @@
+"""Baseline mapper: one functional bootstrap per multi-input gate.
+
+Equivalent of the reference ``MapToFBSBasic``
+(``/root/reference/fbs_mapper/map_to_fbs.py:15-51``): gate inputs are weighted
+by powers of two so the gate truth table becomes the bootstrap test vector
+verbatim; 1-input gates become the identity or the lincomb ``1 - x``.  Used as
+the "every gate bootstraps" cost baseline (``mapper=basic``, fbs_size 2).
+The reference's unbound-name crash on Const instructions
+(``map_to_fbs.py:25``) does not apply: constants are handled via the seeded
+wire environment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bit_circuit import BitCircuit, K_INPUT
+from ..lut_program import LutProgram
+
+__all__ = ["BasicMapper"]
+
+
+class BasicMapper:
+    def map(self, circuit: BitCircuit) -> LutProgram:
+        prog = LutProgram()
+        wires = {"0": prog.const(0), "1": prog.const(1)}
+
+        for node in circuit.nodes:
+            if node.kind == K_INPUT:
+                wires[node.name] = prog.input(node.name)
+                continue
+            assert len(node.table) == 1 << len(node.fanins)
+
+            # Partial-evaluate constant fanins (fixes the reference's crash on
+            # const-input gates, ``map_to_fbs.py:25``): restrict the truth
+            # table to the rows selected by each constant value.
+            fanins, table = list(node.fanins), list(node.table)
+            pos = 0
+            while pos < len(fanins):
+                f = fanins[pos]
+                if f.name in ("0", "1"):
+                    bit = int(f.name)
+                    stride = 1 << (len(fanins) - pos - 1)
+                    table = [v for r, v in enumerate(table)
+                             if (r // stride) % 2 == bit]
+                    fanins.pop(pos)
+                else:
+                    pos += 1
+
+            if not fanins:
+                wires[node.name] = prog.const(table[0])
+            elif len(fanins) == 1:
+                src = wires[fanins[0].name]
+                if table == [1, 0]:
+                    wires[node.name] = prog.linear([-1], [src], const_coef=1)
+                elif table == [0, 1]:
+                    wires[node.name] = src
+                else:  # constant table after partial evaluation
+                    wires[node.name] = prog.const(table[0])
+            else:
+                # MSB-first binary weighting: fanins[0] gets the top bit.
+                coefs = [1 << k for k in range(len(fanins))][::-1]
+                vals = [wires[f.name] for f in fanins]
+                lin = prog.linear(coefs, vals)
+                wires[node.name] = prog.bootstrap(lin, table)
+
+        for name, out in circuit.outputs.items():
+            prog.output(name, wires[out.name])
+        return prog

@@ -1,0 +1,233 @@
+"""Cone algebra for the FBS mapping heuristic.
+
+A *cone* represents a Boolean wire as a function of already-materialized
+``LutProgram`` nodes: a support list, integer lincomb coefficients over that
+support, a Boolean truth table ``tt`` over all support assignments, and the
+multi-value table ``mvt`` giving the integer the lincomb takes per assignment.
+Equivalent of the reference's ``MapToFBSHeur.new_cone`` inner class
+(``/root/reference/fbs_mapper/map_to_fbs.py:177-232``) and its index algebra
+(``map_to_fbs.py:286-334,407-440``).
+
+The invariant enforced at construction: the cone must be realizable as a
+single functional bootstrap — no tt-0/tt-1 collision on the same mvt value,
+and the completed test vector fits the FBS size, possibly through the
+negacyclic (anti-cyclic ring) extension modes (``map_to_fbs.py:78-113``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Sequence
+
+import numpy as np
+
+logger = logging.getLogger("fbs_mapper.cones")
+
+
+def mvt_span(mvt: np.ndarray) -> int:
+    """Number of distinct lincomb values the cone can take (range width)."""
+    return int(np.max(mvt) - np.min(mvt) + 1)
+
+
+def complete_test_vector(tt: np.ndarray, mvt: np.ndarray,
+                         missing_val: int) -> list[int]:
+    """Dense test vector over ``[mvt.min(), mvt.max()]``; holes get
+    ``missing_val`` (reference ``map_to_fbs.py:73-76``)."""
+    lo, hi = int(mvt.min()), int(mvt.max())
+    table = [missing_val] * (hi - lo + 1)
+    for value, bit in zip(mvt, tt):
+        table[int(value) - lo] = int(bit)
+    return table
+
+
+class ConeSpace:
+    """Validity rules shared by all cones of one mapping run.
+
+    ``fbs_size`` is the plaintext precision p; ``max_fbs_size`` is the longest
+    acceptable test vector (2p when the negacyclic extension is enabled,
+    p under ``--strict_fbs_size``).
+    """
+
+    def __init__(self, fbs_size: int, max_fbs_size: int):
+        self.fbs_size = fbs_size
+        self.max_fbs_size = max_fbs_size
+
+    # -- validity ---------------------------------------------------------
+    def mvt_consistent(self, tt: np.ndarray, mvt: np.ndarray) -> bool:
+        """No mvt value may be shared by a tt-0 and a tt-1 row."""
+        return len(set(mvt[tt == 0]).intersection(mvt[tt == 1])) == 0
+
+    def test_vector_ok(self, tv: Sequence[int]) -> bool:
+        """A test vector longer than p but ≤ 2p is accepted in three
+        negacyclic modes (reference ``map_to_fbs.py:81-98``):
+
+        * mode 1: f(x) = 1 - f(x + p)   (complement on the overlap)
+        * mode 2: f(x) = 0 = f(x + p)   (overlap constant 0)
+        * mode 3: f(x) = 1 = f(x + p)   (overlap constant 1)
+        """
+        p = self.fbs_size
+        if len(tv) <= p:
+            return True
+        if len(tv) > self.max_fbs_size:
+            return False
+        tv = np.asarray(tv)
+        head, tail = tv[: len(tv) - p], tv[p:]
+        if np.all(head != tail):
+            return True
+        if np.all(head == tail):
+            return bool(np.all(head == 0) or np.all(head == 1))
+        return False
+
+    def lut_ok(self, tt: np.ndarray, mvt: np.ndarray) -> bool:
+        if not self.mvt_consistent(tt, mvt):
+            return False
+        if mvt_span(mvt) <= self.fbs_size:
+            return True
+        return (self.test_vector_ok(complete_test_vector(tt, mvt, 0))
+                or self.test_vector_ok(complete_test_vector(tt, mvt, 1)))
+
+    def fbs_test_vector(self, tt: np.ndarray, mvt: np.ndarray) -> list[int]:
+        """The test vector a bootstrap of this cone will use; holes are
+        filled with whichever missing value keeps the vector valid."""
+        tv = complete_test_vector(tt, mvt, 0)
+        if self.test_vector_ok(tv):
+            return tv
+        tv = complete_test_vector(tt, mvt, 1)
+        assert self.test_vector_ok(tv), "no valid test-vector completion"
+        return tv
+
+
+class Cone:
+    __slots__ = ("space", "support", "coefs", "tt", "mvt", "_support_names")
+
+    def __init__(self, space: ConeSpace, support, coefs, tt, mvt):
+        self.space = space
+        self.support = np.asarray(support, dtype=object)
+        self.coefs = np.asarray(coefs, dtype=np.int64)
+        self.tt = np.asarray(tt, dtype=np.int64)
+        self.mvt = np.asarray(mvt, dtype=np.int64)
+        assert space.lut_ok(self.tt, self.mvt), f"invalid cone {self}"
+        self._support_names = np.array([n.name for n in self.support])
+        if self.size() != len(np.unique(self.mvt)):
+            logger.debug("cone with sparse mvt: %d vs %d unique",
+                         self.size(), len(np.unique(self.mvt)))
+
+    # -- queries ----------------------------------------------------------
+    def size(self) -> int:
+        return mvt_span(self.mvt)
+
+    def norm2_squared(self) -> int:
+        return int(np.sum(self.coefs * self.coefs))
+
+    def support_names(self) -> np.ndarray:
+        return self._support_names
+
+    def is_const(self) -> bool:
+        return len(self.support) == 0
+
+    def with_tt(self, new_tt) -> "Cone":
+        return Cone(self.space, self.support, self.coefs, new_tt, self.mvt)
+
+    def __repr__(self) -> str:
+        return (f"Cone({list(self._support_names)}, {list(self.coefs)}, "
+                f"{list(self.mvt)}, {list(self.tt)})")
+
+
+# ---------------------------------------------------------------------------
+# Truth-table index algebra over cone supports.
+# ---------------------------------------------------------------------------
+
+def tt_row_bits(nb_vars: int) -> np.ndarray:
+    """[nb_vars, 2^nb_vars] matrix of variable values per tt row, MSB-first:
+    row r of variable v is bit (nb_vars-1-v) of r."""
+    rows = np.arange(1 << nb_vars, dtype=np.uint32)
+    shifts = np.arange(nb_vars - 1, -1, -1, dtype=np.uint32)
+    return ((rows[None, :] >> shifts[:, None]) & 1).astype(np.uint32)
+
+
+def cone_pair_indices(sup1: np.ndarray, sup2: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Row indices of cone1/cone2 tables inside the union-support table.
+
+    The union support is ``sup1 ++ (sup2 \\ sup1)`` in order; cone1's vars are
+    a prefix, so its index simply repeats (reference ``map_to_fbs.py:415-431``).
+    """
+    sup1 = np.asarray(sup1)
+    sup2 = np.asarray(sup2)
+    sup_union = np.concatenate((sup1, sup2[~np.isin(sup2, sup1)]))
+    n = len(sup_union)
+    bits = tt_row_bits(n)
+
+    idx2 = np.zeros(1 << n, dtype=np.uint32)
+    for node in sup2:
+        pos = int(np.where(sup_union == node)[0][0])
+        idx2 = (idx2 << 1) + bits[pos]
+
+    n1 = len(sup1)
+    idx1 = np.repeat(np.arange(1 << n1, dtype=np.uint32), 1 << (n - n1))
+    return idx1, idx2
+
+
+def pair_tables(cone1: Cone, cone2: Cone, gate_tt: Sequence[int]
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(xy_mvt, r_tt) over the union support: per row, the (mvt1, mvt2) value
+    pair and the gate output bit ``gate_tt[2*tt1 + tt2]``
+    (reference ``map_to_fbs.py:433-440``)."""
+    idx1, idx2 = cone_pair_indices(cone1.support_names(),
+                                   cone2.support_names())
+    xy_mvt = np.stack((cone1.mvt[idx1], cone2.mvt[idx2]), axis=1)
+    r_tt = np.asarray(gate_tt, dtype=np.int64)[2 * cone1.tt[idx1]
+                                               + cone2.tt[idx2]]
+    return xy_mvt, r_tt
+
+
+def simplify_cone(space: ConeSpace, support: np.ndarray, coefs: np.ndarray,
+                  tt: np.ndarray, mvt: np.ndarray) -> Cone:
+    """Drop zero-coefficient support vars and gcd-reduce coefs and mvt
+    (reference ``map_to_fbs.py:286-311``)."""
+    zero = coefs == 0
+    if np.any(zero):
+        # Keep only tt/mvt rows where every dropped variable is 0.
+        n = len(coefs)
+        rows = np.arange(1 << n, dtype=np.uint32)
+        dropped_mask = 0
+        for pos in np.nonzero(zero)[0]:
+            dropped_mask |= 1 << (n - 1 - int(pos))
+        keep_rows = (rows & dropped_mask) == 0
+        support = support[~zero]
+        coefs = coefs[~zero]
+        tt = tt[keep_rows]
+        mvt = mvt[keep_rows]
+
+    g = int(np.gcd.reduce(coefs)) if len(coefs) else 1
+    if g > 1:
+        coefs = coefs // g
+        mvt = mvt // g
+
+    return Cone(space, support, coefs, tt, mvt)
+
+
+def merge_cones(space: ConeSpace, cone1: Cone, cone2: Cone,
+                ab: tuple[int, int], new_tt: np.ndarray,
+                new_mvt: np.ndarray) -> Cone:
+    """Merge two cones into one via the lincomb a·cone1 + b·cone2; shared
+    support nodes fold their coefficients into cone1's slots
+    (reference ``map_to_fbs.py:313-334``)."""
+    a, b = ab
+    names1 = cone1.support_names()
+    names2 = cone2.support_names()
+
+    coefs1 = cone1.coefs * a
+    coefs2 = cone2.coefs * b
+
+    common = set(names1).intersection(names2)
+    for name in common:
+        i1 = int(np.where(names1 == name)[0][0])
+        i2 = int(np.where(names2 == name)[0][0])
+        coefs1[i1] += coefs2[i2]
+
+    keep = ~np.isin(names2, list(common))
+    support = np.concatenate((cone1.support, cone2.support[keep]))
+    coefs = np.concatenate((coefs1, coefs2[keep]))
+    return simplify_cone(space, support, coefs, np.asarray(new_tt),
+                         np.asarray(new_mvt))

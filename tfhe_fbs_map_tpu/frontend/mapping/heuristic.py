@@ -1,0 +1,246 @@
+"""Greedy cone-merging heuristic mapping Boolean circuits to FBS programs.
+
+Implements the paper's heuristic (reference ``MapToFBSHeur``,
+``/root/reference/fbs_mapper/map_to_fbs.py:54-547``): a single greedy pass over
+the source circuit keeping, per wire, a *cone* — the wire expressed as one
+lincomb + one pending functional bootstrap over already-materialized nodes.
+For each 2-input gate the two input cones are merged into one via a lincomb
+``a·x + b·y`` whenever valid coefficients exist; an input cone is bootstrapped
+(materialized) only when forced.
+
+Coefficient search flavors (reference ``map_to_fbs.py:336-392``):
+
+* ``naive`` — fixed stacking ``(a, b) = (size(y), 1)``,
+* ``search`` — enumerate all (a, b) grouped by resulting FBS size, scan groups
+  in increasing output-size order, tie-break by minimal Σmvt².
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..bit_circuit import BitCircuit, K_INPUT
+from ..lut_program import LutProgram, LutNode
+from .cones import (Cone, ConeSpace, merge_cones, mvt_span, pair_tables)
+
+__all__ = ["HeuristicMapper", "MappingError"]
+
+
+class MappingError(RuntimeError):
+    """No valid lincomb coefficients exist even after bootstrapping both
+    gate inputs (e.g. the ``naive`` merger at fbs_size 2 on an AND gate —
+    matches the reference's terminal assert, ``map_to_fbs.py:545``)."""
+
+
+class HeuristicMapper:
+    def __init__(self, cone_merger: str = "search", fbs_size: int = 8,
+                 max_fbs_size: int | None = None,
+                 max_truth_table_size: int = 16):
+        """:param cone_merger: "naive" or "search"
+        :param fbs_size: plaintext precision p of one FBS
+        :param max_fbs_size: longest acceptable test vector (2p unless strict)
+        :param max_truth_table_size: support-size cap (log2 of tt rows) above
+            which an input cone is force-bootstrapped
+            (reference ``map_to_fbs.py:483-498``)"""
+        self.space = ConeSpace(
+            fbs_size, 2 * fbs_size if max_fbs_size is None else max_fbs_size)
+        self.max_support = max_truth_table_size
+        if cone_merger == "naive":
+            self._find_coefs = self._find_coefs_naive
+        elif cone_merger == "search":
+            self._find_coefs = self._find_coefs_search
+        else:
+            raise ValueError(f"unknown cone merger {cone_merger!r}")
+        self._coef_cache: dict[str, tuple] = {}
+        self.logger = logging.getLogger(f"fbs_mapper.heur_{cone_merger}")
+
+    # -------------------------------------------------------------- cones
+    def const_cone(self, bit: int) -> Cone:
+        return Cone(self.space, [], [], [bit], [0])
+
+    def unit_cone(self, node: LutNode) -> Cone:
+        """Cone of a fresh 0/1-valued program node."""
+        return Cone(self.space, [node], [1], [0, 1], [0, 1])
+
+    def materialize(self, prog: LutProgram, cone: Cone) -> Cone:
+        """Emit the cone's lincomb + bootstrap into the program; returns the
+        fresh unit cone over the bootstrap output
+        (reference ``new_bootstrap``, ``map_to_fbs.py:264-284``).
+        Constant and single-node cones need no bootstrap."""
+        if len(cone.support) <= 1:
+            return cone
+
+        shift = -int(cone.mvt.min())
+        mvt = cone.mvt + shift
+        lin = prog.linear([int(c) for c in cone.coefs], list(cone.support),
+                          const_coef=shift)
+        table = self.space.fbs_test_vector(cone.tt, mvt)
+        return self.unit_cone(prog.bootstrap(lin, table))
+
+    def emit_output(self, prog: LutProgram, cone: Cone) -> LutNode:
+        """Program node carrying the cone's value (reference ``new_output``,
+        ``map_to_fbs.py:251-262``, with its unreachable-path bug fixed)."""
+        if cone.is_const():
+            return prog.const(int(cone.tt[0]))
+        if len(cone.support) == 1:
+            node = cone.support[0]
+            if np.array_equal(cone.tt, [1, 0]):
+                return prog.linear([-1], [node], const_coef=1)
+            return node
+        return self.materialize(prog, cone).support[0]
+
+    # ---------------------------------------------------- coefficient search
+    def _find_coefs_naive(self, xy_mvt: np.ndarray, r_tt: np.ndarray):
+        a, b = mvt_span(xy_mvt[:, 1]), 1
+        r_mvt = a * xy_mvt[:, 0] + b * xy_mvt[:, 1]
+        if self.space.lut_ok(r_tt, r_mvt):
+            return (a, b), r_mvt
+        return None, None
+
+    @staticmethod
+    def _coefs_by_fbs_size(size1: int, size2: int) -> dict:
+        """All (a, b) candidates grouped by the merged FBS size
+        |a|(size1-1) + |b|(size2-1); the smaller cone gets the signed range
+        (reference ``map_to_fbs.py:344-361``)."""
+        if size1 < size2:
+            cand = [(a, b) for a in range(size2 + 1)
+                    for b in range(-size1, size1 + 1)]
+        else:
+            cand = [(a, b) for a in range(-size2, size2 + 1)
+                    for b in range(size1 + 1)]
+        cand = np.array(cand, dtype=np.int64)
+        out_size = (np.abs(cand[:, 0]) * (size1 - 1)
+                    + np.abs(cand[:, 1]) * (size2 - 1))
+        groups = {}
+        for size in np.unique(out_size):
+            pairs = [tuple(map(int, ab)) for ab in cand[out_size == size]]
+            groups[int(size)] = sorted(pairs, reverse=True)
+        return groups
+
+    def _find_coefs_search(self, xy_mvt: np.ndarray, r_tt: np.ndarray):
+        size1 = mvt_span(xy_mvt[:, 0])
+        size2 = mvt_span(xy_mvt[:, 1])
+        best_ab, best_mvt = None, None
+        best_span, best_norm2 = 1 << 60, 1 << 60
+
+        for span_m1, pairs in self._coefs_by_fbs_size(size1, size2).items():
+            for a, b in pairs:
+                span = abs(a) * (size1 - 1) + abs(b) * (size2 - 1)
+                assert span == span_m1
+                mvt = a * xy_mvt[:, 0] + b * xy_mvt[:, 1]
+                norm2 = int(np.square(mvt).sum())
+                if span < best_span or (span == best_span
+                                        and norm2 < best_norm2):
+                    if self.space.lut_ok(r_tt, mvt):
+                        best_ab, best_mvt = (a, b), mvt
+                        best_span, best_norm2 = span, norm2
+            if best_ab is not None:
+                break
+        return best_ab, best_mvt
+
+    def _find_coefs_cached(self, xy_mvt: np.ndarray, r_tt: np.ndarray):
+        key = (xy_mvt.tobytes(), xy_mvt.shape[0], r_tt.tobytes())
+        if key not in self._coef_cache:
+            self._coef_cache[key] = self._find_coefs(xy_mvt, r_tt)
+        return self._coef_cache[key]
+
+    # ------------------------------------------------------------- gate step
+    @staticmethod
+    def _swap_cones(cone1, cone2, idx1, idx2, gate_tt):
+        gate_tt = list(gate_tt)
+        gate_tt[1], gate_tt[2] = gate_tt[2], gate_tt[1]
+        return cone2, cone1, idx2, idx1, gate_tt
+
+    def map_gate(self, prog: LutProgram, input_cones: list[Cone],
+                 gate_tt) -> tuple[Cone, dict[int, Cone]]:
+        """Map one source gate; returns the output cone plus any input cones
+        that had to be bootstrapped along the way, keyed by input position
+        (reference ``treat_bit_exec_lut_gate``, ``map_to_fbs.py:442-547``)."""
+        log = self.logger
+
+        if len(input_cones) == 1:
+            cone, = input_cones
+            assert len(gate_tt) == 2
+            return cone.with_tt(np.asarray(gate_tt)[cone.tt]), {}
+
+        assert len(input_cones) == 2 and len(gate_tt) == 4
+        cone1, cone2 = input_cones
+        gate_tt = list(gate_tt)
+        idx1, idx2 = 0, 1
+
+        # Keep the larger (or equal-size, higher-norm) cone as cone1 so it is
+        # the one preserved intact (reference ``map_to_fbs.py:474-477``).
+        if (cone1.size() < cone2.size()
+                or (cone1.size() == cone2.size()
+                    and cone1.norm2_squared() < cone2.norm2_squared())):
+            cone1, cone2, idx1, idx2, gate_tt = self._swap_cones(
+                cone1, cone2, idx1, idx2, gate_tt)
+
+        forced: dict[int, Cone] = {}
+
+        # Force a bootstrap when the united support would exceed the tt cap.
+        union = set(cone1.support_names()).union(cone2.support_names())
+        if len(union) > self.max_support:
+            log.debug("force bootstrap of cone %d (support cap)", idx1)
+            forced[idx1] = cone1 = self.materialize(prog, cone1)
+            cone1, cone2, idx1, idx2, gate_tt = self._swap_cones(
+                cone1, cone2, idx1, idx2, gate_tt)
+            union = set(cone1.support_names()).union(cone2.support_names())
+            if len(union) > self.max_support:
+                log.debug("force bootstrap of cone %d (support cap)", idx1)
+                forced[idx1] = cone1 = self.materialize(prog, cone1)
+
+        # Up to three merge attempts, bootstrapping cone1 then cone2 between
+        # failures; the third attempt cannot fail (both cones are then unit).
+        for attempt in range(3):
+            xy_mvt, r_tt = pair_tables(cone1, cone2, gate_tt)
+            if len(np.unique(r_tt)) == 1:
+                return self.const_cone(int(r_tt[0])), forced
+            ab, r_mvt = self._find_coefs_cached(xy_mvt, r_tt)
+            if ab is not None:
+                return (merge_cones(self.space, cone1, cone2, ab, r_tt, r_mvt),
+                        forced)
+            if attempt == 2:
+                raise MappingError(
+                    f"no valid lincomb for gate tt {gate_tt} at fbs_size "
+                    f"{self.space.fbs_size}/{self.space.max_fbs_size}")
+            if attempt == 0:
+                log.debug("bootstrap cone %d", idx1)
+                forced[idx1] = cone1 = self.materialize(prog, cone1)
+            else:
+                log.debug("bootstrap cone %d", idx2)
+                forced[idx2] = cone2 = self.materialize(prog, cone2)
+
+        raise AssertionError("unreachable")
+
+    # ------------------------------------------------------------------ map
+    def map(self, circuit: BitCircuit) -> LutProgram:
+        to_bootstrap = {out.name for out in circuit.outputs.values()}
+        return self.map_internal(circuit, to_bootstrap)
+
+    def map_internal(self, circuit: BitCircuit,
+                     nodes_to_bootstrap: set[str]) -> LutProgram:
+        prog = LutProgram()
+        cones: dict[str, Cone] = {"0": self.const_cone(0),
+                                  "1": self.const_cone(1)}
+
+        for node in circuit.nodes:
+            if node.kind == K_INPUT:
+                cone = self.unit_cone(prog.input(node.name))
+            else:
+                input_cones = [cones[f.name] for f in node.fanins]
+                assert len(input_cones) <= 2, \
+                    "only 1- and 2-input gates are supported"
+                cone, forced = self.map_gate(prog, input_cones, node.table)
+                for pos, new_cone in forced.items():
+                    cones[node.fanins[pos].name] = new_cone
+
+            if node.name in nodes_to_bootstrap:
+                cone = self.materialize(prog, cone)
+            cones[node.name] = cone
+
+        for name, out in circuit.outputs.items():
+            prog.output(name, self.emit_output(prog, cones[out.name]))
+        return prog
