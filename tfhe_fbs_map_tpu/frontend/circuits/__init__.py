@@ -1,0 +1,4 @@
+from .dsl import Bit, CircuitBuilder
+from .generators import BENCH_GENERATORS, build_bench
+
+__all__ = ["Bit", "CircuitBuilder", "BENCH_GENERATORS", "build_bench"]
