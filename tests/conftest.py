@@ -6,7 +6,9 @@ exercised without TPU hardware; set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (the environment may point JAX_PLATFORMS at the tunneled TPU;
+# tests must run on the virtual CPU mesh).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
