@@ -1,0 +1,128 @@
+"""Headline benchmark: functional bootstraps per second per chip.
+
+Runs the MXU conv fast path (keyswitch → blind rotate → sample extract) on a
+batch of independent ciphertexts with ~128-bit parameters, verifies the
+decrypted lookups, and prints ONE JSON line:
+
+    {"metric": "bootstraps_per_sec_per_chip", "value": N, "unit": "boots/s",
+     "vs_baseline": N/1000}
+
+The baseline (1000 boots/s/chip) is this repo's north-star target
+(BASELINE.json); the reference publishes no runtime numbers of its own
+(BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny params (CPU smoke test)")
+    ap.add_argument("--orientation", default="matmul",
+                    choices=["matmul", "keys_lhs", "keys_lhs_bf16",
+                             "keys_rhs"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_fbs_map_tpu.ops.blind_rotate import (functional_bootstrap_fast,
+                                                   prepare_fast_keys)
+    from tfhe_fbs_map_tpu.tfhe import (TFHEParams, build_test_vector,
+                                       decrypt_values, encrypt_values,
+                                       generate_keys)
+
+    dev = jax.devices()[0]
+    if args.quick:
+        params = TFHEParams(p=4, lwe_dim=32, glwe_dim=1, poly_size=128,
+                            bsk_level=2, bsk_base_log=7, ksk_level=3,
+                            ksk_base_log=4, lwe_noise_std=4.0,
+                            glwe_noise_std=4.0)
+        args.batch = min(args.batch, 32)
+    elif args.orientation == "matmul":
+        # ~128-bit anchor tuned for the s8 matmul path: base 2^8 x 2 levels
+        # keeps the precomputed key-matrix limbs at n*2*(rows*N)*(k+1)N =
+        # ~11.9 GB in HBM.
+        params = TFHEParams(p=4, lwe_dim=630, glwe_dim=2, poly_size=512,
+                            bsk_level=2, bsk_base_log=8, ksk_level=5,
+                            ksk_base_log=3,
+                            lwe_noise_std=2.0 ** (32 - 15.0),
+                            glwe_noise_std=2.0 ** (32 - 25.0))
+    else:
+        # ~128-bit anchor: kN = 1024 GLWE, n = 630 LWE (see tfhe/params.py)
+        params = TFHEParams(p=4, lwe_dim=630, glwe_dim=2, poly_size=512,
+                            bsk_level=3, bsk_base_log=7, ksk_level=5,
+                            ksk_base_log=3,
+                            lwe_noise_std=2.0 ** (32 - 15.0),
+                            glwe_noise_std=2.0 ** (32 - 25.0))
+
+    t0 = time.time()
+    keys = generate_keys(params, seed=1)
+    fast = prepare_fast_keys(keys, orientation=args.orientation)
+    import jax.numpy as _j
+    fast.bsk_kernels.block_until_ready()
+    keygen_s = time.time() - t0
+    print(f"# keygen done in {keygen_s:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(2)
+    # XOR-style workload: lincomb values in [0,2], table [1,0,1]
+    values = rng.integers(0, 3, args.batch)
+    cts = encrypt_values(keys, values, rng)
+    tv, post = build_test_vector([1, 0, 1], params)
+    tvs = jnp.broadcast_to(jnp.asarray(tv), (args.batch, params.poly_size))
+    posts = jnp.full((args.batch,), np.int32(post))
+
+    # warmup / compile
+    t0 = time.time()
+    out = functional_bootstrap_fast(fast, cts, tvs, posts)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+    print(f"# compile+first-run {compile_s:.1f}s", file=sys.stderr)
+
+    # correctness gate: the bench only counts verified bootstraps
+    got = decrypt_values(keys, out)
+    want = np.asarray([1, 0, 1])[values]
+    n_bad = int(np.sum(got != want))
+    if n_bad:
+        print(f"CORRECTNESS FAILURE: {n_bad}/{args.batch} wrong",
+              file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = functional_bootstrap_fast(fast, out, tvs, posts)
+    # force completion with a host readback: block_until_ready is not
+    # reliable on the tunneled axon backend
+    _ = np.asarray(out[:1, -1:])
+    elapsed = time.time() - t0
+
+    boots_per_sec = args.batch * args.iters / elapsed
+    result = {
+        "metric": "bootstraps_per_sec_per_chip",
+        "value": round(boots_per_sec, 2),
+        "unit": "boots/s",
+        "vs_baseline": round(boots_per_sec / 1000.0, 3),
+        "batch": args.batch,
+        "params": {"n": params.lwe_dim, "k": params.glwe_dim,
+                   "N": params.poly_size, "l_bsk": params.bsk_level,
+                   "p": params.p},
+        "device": str(dev),
+        "keygen_s": round(keygen_s, 2),
+        "compile_s": round(compile_s, 2),
+        "ms_per_bootstrap": round(1000.0 * elapsed
+                                  / (args.batch * args.iters), 4),
+        "errors": n_bad,
+    }
+    print(json.dumps(result))
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

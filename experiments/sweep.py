@@ -1,0 +1,164 @@
+"""Benchmark sweep orchestrator.
+
+Parity with the reference harness (``run_benchmarks.sh`` + the five
+``gen_makefile_*.bash`` generators + ``build_csv.py`` +
+``add_exec_estimates.py``), redesigned as one resumable Python driver:
+
+* generates the in-repo benchmark suite (no network needed), and picks up
+  EPFL/ISCAS/Bristol files from ``benchmarks/<suite>/`` if present (use
+  ``fetch_benchmarks.sh`` on a machine with egress);
+* runs one mapper process per (bench, fbs_size, mapper) config with a
+  process pool (the reference uses ``make -j4``); finished ``.log`` files
+  are skipped on re-run — the same file-existence resume mechanism;
+* aggregates the stats dict printed as each log's last line into
+  ``<suite>_agg.csv`` and appends ``boot_cost`` from the parameter
+  optimizer (memoized per (fbs_size, norm2)) into ``<suite>_agg_est.csv``.
+
+Usage::
+
+    python experiments/sweep.py --suite generated --jobs 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import csv
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SWEEPS = {
+    # suite: (fbs sizes for naive+search, include basic baseline)
+    "generated": (range(2, 17), True),
+    "epfl": (range(3, 17), True),
+    "iscas85": (range(2, 33), True),
+    "iscas89": (range(2, 33), True),
+    "bristol": (range(2, 17), True),
+}
+SUITE_FORMAT = {"generated": "blif", "epfl": "blif", "iscas85": "bench",
+                "iscas89": "bench", "bristol": "bristol"}
+
+
+def ensure_generated(bench_dir: Path) -> None:
+    from tfhe_fbs_map_tpu.frontend.circuits import BENCH_GENERATORS, build_bench
+    bench_dir.mkdir(parents=True, exist_ok=True)
+    for name in BENCH_GENERATORS:
+        if name.startswith("trivium_state"):
+            continue
+        out = bench_dir / f"{name}.blif"
+        if out.exists():
+            continue
+        circ = build_bench(name)
+        with open(out, "w") as f:
+            circ.to_blif(fs=f, model_name=name)
+
+
+def configs_for(suite: str, bench_files: list[Path], out_dir: Path):
+    sizes, with_basic = SWEEPS[suite]
+    fmt = SUITE_FORMAT[suite]
+    for bench in bench_files:
+        stem = bench.stem
+        if with_basic:
+            yield (bench, fmt, 2, "basic", out_dir / f"{stem}_2_basic.log")
+        for p in sizes:
+            for mapper in ("naive", "search") if suite == "epfl" \
+                    else ("search",):
+                yield (bench, fmt, p, mapper,
+                       out_dir / f"{stem}_{p}_{mapper}.log")
+
+
+def run_one(cfg) -> str:
+    bench, fmt, p, mapper, log = cfg
+    if log.exists():
+        return f"skip {log.name}"
+    cmd = [sys.executable, "-m", "tfhe_fbs_map_tpu.frontend.cli",
+           str(bench), "--type", fmt, "--fbs_size", str(p),
+           "--mapper", mapper,
+           "--output", str(log.with_suffix(".fbs")),
+           "--output_lbf", str(log.with_suffix(".lbf"))]
+    with open(log, "w") as f:
+        subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                       cwd=str(REPO), timeout=3600)
+    return f"done {log.name}"
+
+
+def aggregate(out_dir: Path, csv_path: Path) -> list[dict]:
+    rows = []
+    for log in sorted(out_dir.glob("*.log")):
+        try:
+            last = log.read_text().strip().splitlines()[-1]
+            d = ast.literal_eval(last)
+            d["bench"] = Path(d["filename"]).stem
+            rows.append(d)
+        except Exception as e:  # tolerate failed runs, like build_csv.py:28
+            print(f"cannot parse {log}: {e}", file=sys.stderr)
+    rows.sort(key=lambda d: (d["bench"], d["mapper"], d["fbs_size"]))
+    if rows:
+        keys = sorted({k for r in rows for k in r})
+        with open(csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(rows)
+    return rows
+
+
+def add_estimates(rows: list[dict], csv_path: Path) -> None:
+    from tfhe_fbs_map_tpu.optimizer import optimize
+    memo: dict[tuple, float] = {}
+    for r in rows:
+        key = (r["fbs_size"], r["norm2_linprod"])
+        if key not in memo:
+            sol = optimize(int(key[0]), float(key[1]))
+            memo[key] = round(sol.cost, 1) if sol else float("nan")
+        r["boot_cost"] = memo[key]
+        nb = r.get("nb_bootstrap", 0)
+        r["total_cost"] = round(nb * memo[key], 1) if memo[key] == memo[key] \
+            else float("nan")
+    keys = sorted({k for r in rows for k in r})
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", default="generated", choices=list(SWEEPS))
+    ap.add_argument("--jobs", type=int, default=4)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    bench_dir = REPO / "benchmarks" / args.suite
+    out_dir = Path(args.out) if args.out else REPO / "outputs" / args.suite
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.suite == "generated":
+        ensure_generated(bench_dir)
+    if not bench_dir.exists():
+        print(f"no benchmarks at {bench_dir}; run "
+              f"experiments/fetch_benchmarks.sh first", file=sys.stderr)
+        return 1
+
+    exts = {"blif": "*.blif", "bench": "*.bench", "bristol": "*.txt"}
+    bench_files = sorted(bench_dir.glob(exts[SUITE_FORMAT[args.suite]]))
+    cfgs = list(configs_for(args.suite, bench_files, out_dir))
+    print(f"{len(cfgs)} configs over {len(bench_files)} benchmarks")
+
+    with mp.Pool(args.jobs) as pool:
+        for msg in pool.imap_unordered(run_one, cfgs):
+            print(msg)
+
+    rows = aggregate(out_dir, REPO / "outputs" / f"{args.suite}_agg.csv")
+    add_estimates(rows, REPO / "outputs" / f"{args.suite}_agg_est.csv")
+    print(f"aggregated {len(rows)} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,291 @@
+"""MXU fast path for the programmable bootstrap.
+
+The blind-rotate hot loop costs ``n · (k+1)² · l · N²`` MACs per ciphertext —
+all the FLOPs of the framework.  This module formulates the external product
+as a **1D integer convolution**:
+
+* digit polys (one per GGSW row) are the conv *input channels*,
+* output GLWE components × key limbs are the *output channels*,
+* the negacyclic wrap is handled by extending digits to ``[d, -d]`` (X^N=-1)
+  and taking the valid window,
+
+so XLA lowers the whole CMux onto the MXU via its implicit-im2col conv path
+— no precomputed N×N matrices (which would not fit HBM) and no large
+gathers.  Exactness mod 2^32: the bootstrapping/key-switch keys are split
+into 4 balanced int8 limbs (s8 × s8 → s32 accumulation never exceeds 2^26),
+recombined with wrapping shifts.
+
+Constraint: gadget digits must fit int8 *after negation*, i.e. base_log ≤ 7
+for the bootstrap decomposition (params with base_log 8 fall back to the
+generic path in :mod:`tfhe_fbs_map_tpu.tfhe.pbs`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tfhe.keys import TFHEKeys
+from ..tfhe.numeric import I32, gadget_decompose, signed_limbs
+from ..tfhe.params import Q_BITS, TFHEParams
+from .polymul import monomial_rotate, monomial_rotate_onehot
+
+__all__ = ["FastKeys", "prepare_fast_keys", "functional_bootstrap_fast",
+           "external_product_conv"]
+
+N_LIMBS = 4
+LIMB_BITS = 8
+
+
+def _limb_kernels(polys: jnp.ndarray) -> jnp.ndarray:
+    """[..., N] torus polys -> [..., N_LIMBS, N] int8 reversed conv kernels."""
+    limbs = signed_limbs(polys, N_LIMBS, LIMB_BITS)      # [..., N, L]
+    limbs = jnp.moveaxis(limbs, -1, -2)                  # [..., L, N]
+    return limbs[..., ::-1].astype(jnp.int8)             # kernel reversal
+
+
+class FastKeys:
+    """Device-side preprocessed key material for the conv fast path.
+
+    ``orientation`` selects which operand of the external-product conv holds
+    the key: ``"keys_rhs"`` puts the key limbs in the conv weights (output
+    channels = (k+1)·limbs = small), ``"keys_lhs"`` pre-extends the key
+    negacyclically as the conv input and feeds the per-step digits as the
+    weights, making the *ciphertext batch* the output-channel dimension —
+    which is what fills the 128-lane MXU at realistic batch sizes.
+    """
+
+    def __init__(self, params: TFHEParams, bsk_kernels: jnp.ndarray,
+                 ksk_limbs: jnp.ndarray, orientation: str = "keys_rhs"):
+        self.params = params
+        # keys_rhs: [n, (k+1)*N_LIMBS, rows, N] int8 — conv rhs per step
+        # keys_lhs: [n, (k+1)*N_LIMBS, rows, 2N] int8 — extended conv lhs
+        self.bsk_kernels = bsk_kernels
+        # [N_LIMBS, kN*l_ks, n+1] int8 — key-switch matmul limbs
+        self.ksk_limbs = ksk_limbs
+        self.orientation = orientation
+
+
+def prepare_fast_keys(keys: TFHEKeys,
+                      orientation: str = "matmul") -> FastKeys:
+    params = keys.params
+    if orientation != "matmul":
+        assert params.bsk_base_log <= 7, (
+            "conv fast path needs bootstrap digits that fit int8 after "
+            f"negation (base_log {params.bsk_base_log} > 7)")
+    else:
+        assert params.bsk_base_log <= 8
+    assert params.ksk_base_log <= 7
+
+    n = params.lwe_dim
+    k1 = params.glwe_dim + 1
+    rows = k1 * params.bsk_level
+    N = params.poly_size
+
+    if orientation == "matmul":
+        # Precomputed negacyclic matrices of every GGSW row poly, as int8
+        # limbs: [n, L, rows*N, (k+1)*N].  The external product becomes one
+        # s8xs8->s32 dot_general per limb — the MXU-native integer path.
+        # Memory: n * L * rows*N * (k+1)*N bytes (e.g. 11.9 GB for
+        # n=630, k=2, N=512, l=2); built in chunks to bound transients.
+        from .polymul import negacyclic_matrix
+
+        def build_chunk(bsk_chunk):                      # [c, rows, k+1, N]
+            mats = negacyclic_matrix(bsk_chunk)          # [c, rows, k+1, N, N]
+            limbs = signed_limbs(mats, N_LIMBS, LIMB_BITS)
+            limbs = jnp.moveaxis(limbs, -1, 1)           # [c, L, rows, k+1, N, N]
+            limbs = jnp.moveaxis(limbs, 4, 3)            # [c, L, rows, N, k+1, N]
+            return limbs.reshape(bsk_chunk.shape[0], N_LIMBS,
+                                 rows * N, k1 * N).astype(jnp.int8)
+
+        chunk = max(1, min(n, 8))
+        parts = []
+        fn = jax.jit(build_chunk)
+        for i in range(0, n, chunk):
+            parts.append(fn(keys.bsk[i:i + chunk]))
+        kern = jnp.concatenate(parts, axis=0)            # [n, L, rN, k1N]
+        kn_l = params.big_dim * params.ksk_level
+        ksk_limbs = signed_limbs(
+            keys.ksk.reshape(kn_l, params.lwe_dim + 1),
+            N_LIMBS, LIMB_BITS)
+        ksk_limbs = jnp.moveaxis(ksk_limbs, -1, 0).astype(jnp.int8)
+        return FastKeys(params, kern, ksk_limbs, orientation)
+
+    if orientation == "keys_rhs":
+        # bsk [n, rows, k+1, N] -> kernels [n, (c_out, limb), rows, N]
+        kern = _limb_kernels(keys.bsk)                   # [n, rows, k+1, L, N]
+        kern = jnp.moveaxis(kern, 1, 3)                  # [n, k+1, L, rows, N]
+        kern = kern.reshape(n, k1 * N_LIMBS, rows, N)
+    else:
+        assert orientation in ("keys_lhs", "keys_lhs_bf16")
+        # negacyclic extension e_K = [-K, K] in int32 FIRST: negating int8
+        # limbs would overflow at -128; limb recombination is positionwise
+        # linear, so limb-splitting the extended poly is equivalent.
+        ext = jnp.concatenate([-keys.bsk, keys.bsk], axis=-1)  # [n,rows,k+1,2N]
+        limbs = signed_limbs(ext, N_LIMBS, LIMB_BITS)    # [n,rows,k+1,2N,L]
+        limbs = jnp.moveaxis(limbs, -1, -2)              # [n,rows,k+1,L,2N]
+        limbs = jnp.moveaxis(limbs, 1, 3)                # [n,k+1,L,rows,2N]
+        kern = limbs.reshape(n, k1 * N_LIMBS, rows, 2 * N)
+        # bf16 holds the 8-bit limbs exactly; int8 for the s32 conv path
+        kern = kern.astype(jnp.bfloat16 if orientation == "keys_lhs_bf16"
+                           else jnp.int8)
+
+    kn_l = params.big_dim * params.ksk_level
+    ksk_limbs = signed_limbs(keys.ksk.reshape(kn_l, params.lwe_dim + 1),
+                             N_LIMBS, LIMB_BITS)         # [kn_l, n+1, L]
+    ksk_limbs = jnp.moveaxis(ksk_limbs, -1, 0).astype(jnp.int8)
+
+    return FastKeys(params, kern, ksk_limbs, orientation)
+
+
+def _combine_limbs(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Σ_m x_m << (8m) along ``axis`` (exact mod 2^32)."""
+    parts = [jnp.take(x, m, axis=axis).astype(I32) << (LIMB_BITS * m)
+             for m in range(N_LIMBS)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def external_product_conv(diff: jnp.ndarray, kernels: jnp.ndarray,
+                          params: TFHEParams,
+                          orientation: str = "keys_rhs") -> jnp.ndarray:
+    """GGSW ⊡ diff as one integer convolution: [B, k+1, N] -> [B, k+1, N]."""
+    l, b = params.bsk_level, params.bsk_base_log
+    k1 = params.glwe_dim + 1
+    N = params.poly_size
+    batch = diff.shape[0]
+
+    digits = gadget_decompose(diff, b, l)                # [B, k+1, N, l]
+    digits = jnp.moveaxis(digits, -1, 2)                 # [B, k+1, l, N]
+    digits = digits.reshape(batch, k1 * l, N).astype(jnp.int8)
+
+    if orientation == "matmul":
+        # kernels: [L, rows*N, (k+1)*N] int8 precomputed negacyclic limbs
+        flat = digits.reshape(batch, k1 * l * N)
+        prods = jnp.einsum("bt,mtd->bmd", flat, kernels,
+                           preferred_element_type=I32)   # [B, L, k1*N]
+        out = _combine_limbs(prods, axis=1)              # [B, k1*N]
+        return out.reshape(batch, k1, N)
+
+    if orientation == "keys_rhs":
+        # negacyclic extension of the digits: e[m] = d[m] (m>=0), -d[m+N]
+        # (m<0)  =>  lhs = [-d, d]; kernels are the reversed key limbs.
+        d_ext = jnp.concatenate([-digits, digits], axis=-1)  # [B, rows, 2N]
+        out = jax.lax.conv_general_dilated(
+            d_ext, kernels,
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=I32)                  # [B, k1*L, N+1]
+        out = out[..., 1:]                               # valid window shift
+        out = out.reshape(batch, k1, N_LIMBS, N)
+        return _combine_limbs(out, axis=2)               # [B, k+1, N]
+
+    if orientation == "keys_lhs":
+        # keys_lhs: key limbs are the (pre-extended) conv input, reversed
+        # digits are the weights; output channels = ciphertext batch
+        # (fills MXU lanes).
+        out = jax.lax.conv_general_dilated(
+            kernels, digits[..., ::-1],
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=I32)                  # [G, B, N+1]
+        out = out[..., 1:]                               # [k1*L, B, N]
+        out = out.reshape(k1, N_LIMBS, batch, N)
+        out = _combine_limbs(out, axis=1)                # [k1, B, N]
+        return jnp.moveaxis(out, 0, 1)                   # [B, k+1, N]
+
+    # keys_lhs_bf16: TPU XLA has no s8 convolution path (s8 convs are
+    # upcast to s32 and run at VPU rate).  The MXU path is bf16 with f32
+    # accumulation, which is EXACT as long as every accumulated value
+    # stays below 2^24.  Key limbs are <=128 (8 bits); splitting each
+    # digit into sub-limbs d = 16*d_hi + d_lo (|d_lo|<=8, |d_hi|<=4)
+    # bounds each conv accumulation by rows*N * 128*8 < 2^24.  Two bf16
+    # convs (lo/hi) recombine exactly in int32.
+    assert orientation == "keys_lhs_bf16"
+    d_rev = digits[..., ::-1].astype(I32)
+    d_lo = ((d_rev + 8) & 15) - 8                        # [-8, 7]
+    d_hi = (d_rev - d_lo) >> 4                           # [-4, 4]
+    outs = []
+    for dsub in (d_lo, d_hi):
+        o = jax.lax.conv_general_dilated(
+            kernels, dsub.astype(jnp.bfloat16),
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32)          # [G, B, N+1] f32
+        outs.append(o[..., 1:].astype(I32))
+    out = outs[0] + (outs[1] << 4)                       # [k1*L, B, N]
+    out = out.reshape(k1, N_LIMBS, batch, N)
+    out = _combine_limbs(out, axis=1)
+    return jnp.moveaxis(out, 0, 1)
+
+
+def keyswitch_fast(big_cts: jnp.ndarray, fast: FastKeys) -> jnp.ndarray:
+    params = fast.params
+    kn = params.big_dim
+    batch = big_cts.shape[0]
+    digits = gadget_decompose(big_cts[:, :kn], params.ksk_base_log,
+                              params.ksk_level)
+    flat = digits.reshape(batch, kn * params.ksk_level).astype(jnp.int8)
+    prods = jnp.einsum("bt,mtd->bmd", flat, fast.ksk_limbs,
+                       preferred_element_type=I32)       # [B, L, n+1]
+    out = -_combine_limbs(prods, axis=1)
+    return out.at[:, params.lwe_dim].add(big_cts[:, kn])
+
+
+def _modswitch(x, params: TFHEParams):
+    log2n1 = params.poly_size.bit_length()
+    u = jnp.asarray(x).astype(jnp.uint32)
+    return ((u + jnp.uint32(1 << (Q_BITS - log2n1 - 1)))
+            >> jnp.uint32(Q_BITS - log2n1)).astype(I32)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fbs_fast_impl(params: TFHEParams, orientation: str, bsk_kernels,
+                   ksk_limbs, big_cts, test_polys, posts):
+    fast = FastKeys(params, bsk_kernels, ksk_limbs, orientation)
+    n, k, N = params.lwe_dim, params.glwe_dim, params.poly_size
+    batch = big_cts.shape[0]
+
+    shifted = big_cts.at[:, -1].add(I32(params.half_window))
+    small = keyswitch_fast(shifted, fast)
+
+    a_t = _modswitch(small[:, :n], params)
+    b_t = _modswitch(small[:, n], params)
+
+    v_init = monomial_rotate(test_polys, (2 * N - b_t) % (2 * N))
+    acc = jnp.concatenate(
+        [jnp.zeros((batch, k, N), dtype=I32), v_init[:, None, :]], axis=1)
+
+    if orientation == "matmul":
+        # MXU-native rotation; scan streams the per-step key slices
+        def step(acc, xs):
+            a_i, kern_i = xs
+            rotated = monomial_rotate_onehot(acc, a_i)
+            return acc + external_product_conv(
+                rotated - acc, kern_i, params, orientation), None
+        acc, _ = jax.lax.scan(step, acc, (a_t.T, bsk_kernels))
+    else:
+        def step(i, acc):
+            rotated = monomial_rotate(acc, a_t[:, i][:, None])
+            return acc + external_product_conv(rotated - acc, bsk_kernels[i],
+                                               params, orientation)
+        acc = jax.lax.fori_loop(0, n, step, acc)
+
+    # sample extract
+    a = acc[:, :k, :]
+    a_ext = jnp.concatenate([a[..., :1], -a[..., :0:-1]], axis=-1)
+    out = jnp.concatenate([a_ext.reshape(batch, k * N), acc[:, k, :1]],
+                          axis=1)
+    return out.at[:, -1].add(posts)
+
+
+def functional_bootstrap_fast(fast: FastKeys, big_cts, test_polys, posts):
+    """Batched FBS on the MXU conv path; semantics identical to
+    :func:`tfhe_fbs_map_tpu.tfhe.pbs.functional_bootstrap`."""
+    return _fbs_fast_impl(fast.params, fast.orientation, fast.bsk_kernels,
+                          fast.ksk_limbs, big_cts, test_polys, posts)

@@ -1,0 +1,70 @@
+"""TFHE noise-variance model (q = 2^32, binary keys).
+
+Standard variance formulas for the atomic pattern
+``lincomb → keyswitch → modswitch → blind-rotate`` (the model role the
+patched concrete-optimizer plays in the reference —
+``experiments/concrete.patch:21-27`` changes it to *absolute* precision:
+the fatal noise limit is ``q/(4p)`` with p = number of plaintext values,
+not bits; this module implements exactly that absolute-precision contract).
+
+All variances are in absolute torus units squared (out of q = 2^32).
+"""
+
+from __future__ import annotations
+
+import math
+
+Q = float(1 << 32)
+
+
+def var_blind_rotate(n: int, k: int, N: int, l: int, base_log: int,
+                     glwe_noise_std: float) -> float:
+    """Output variance of one blind rotation (fresh bootstrap output)."""
+    b = float(1 << base_log)
+    beta2 = b ** (2 * l)
+    # key-noise term: n CMuxes, each contracting (k+1)*l*N digit products
+    key_term = n * l * (k + 1) * N * ((b * b + 2.0) / 12.0) \
+        * glwe_noise_std ** 2
+    # decomposition rounding term
+    round_term = n * (1.0 + k * N) / 2.0 * (Q * Q) / (12.0 * beta2)
+    return key_term + round_term
+
+
+def var_keyswitch(k: int, N: int, l: int, base_log: int,
+                  lwe_noise_std: float) -> float:
+    kn = k * N
+    b = float(1 << base_log)
+    key_term = kn * l * ((b * b) / 12.0) * lwe_noise_std ** 2
+    round_term = kn * (Q / b ** l) ** 2 / 24.0
+    return key_term + round_term
+
+
+def var_modswitch(n: int, N: int) -> float:
+    w = Q / (2.0 * N)
+    return (w * w) * (1.0 + n / 2.0) / 12.0
+
+
+def p_error_atomic(p: int, sq_norm2: float, n: int, k: int, N: int,
+                   br_l: int, br_b: int, ks_l: int, ks_b: int,
+                   lwe_noise_std: float, glwe_noise_std: float) -> float:
+    """Per-bootstrap error probability of the full atomic pattern.
+
+    The decision happens at blind-rotate window resolution: total input
+    noise (amplified bootstrap outputs + keyswitch + modswitch) must stay
+    within the half-window q/(4p) — the absolute-precision bound of the
+    reference's concrete patch (``fatal_variance_limit_abs``).
+    """
+    v_wire = var_blind_rotate(n, k, N, br_l, br_b, glwe_noise_std)
+    v_total = (sq_norm2 * v_wire
+               + var_keyswitch(k, N, ks_l, ks_b, lwe_noise_std)
+               + var_modswitch(n, N))
+    sigma = math.sqrt(v_total)
+    margin = Q / (4.0 * p)
+    if sigma == 0:
+        return 0.0
+    return math.erfc(margin / (sigma * math.sqrt(2.0)))
+
+
+# 4-sigma default target, as in the reference pipeline
+# (concrete-optimizer `_4_SIGMA`).
+P_ERROR_4_SIGMA = 1.0 - math.erf(4.0 / math.sqrt(2.0))

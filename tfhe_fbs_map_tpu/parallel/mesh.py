@@ -1,0 +1,69 @@
+"""Device-mesh sharding for batched homomorphic execution.
+
+Parallelism axes of the framework (the reference has none — SURVEY.md §2
+"Parallelism strategies: none"; these are the TPU-native equivalents):
+
+* ``dp`` — data parallel over the ciphertext batch (independent bootstraps
+  of one circuit level × user batch).  Embarrassingly parallel; scales over
+  ICI and DCN.
+* ``tp`` — tensor parallel over key material: the key-switch key rows and
+  the GGSW conv channels are sharded, with XLA inserting the psum over ICI.
+
+Keys are sharded once at setup; batches are sharded per call.  Everything
+goes through ``jax.jit`` with ``NamedSharding`` annotations so GSPMD
+propagates layouts and inserts collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "shard_fast_keys",
+           "sharded_bootstrap"]
+
+
+def make_mesh(devices=None, dp: int | None = None, tp: int = 1) -> Mesh:
+    """2D (dp, tp) mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"{n} devices cannot form mesh ({dp}, {tp})"
+    return Mesh(devices.reshape(dp, tp), axis_names=("dp", "tp"))
+
+
+def shard_batch(mesh: Mesh, x: jnp.ndarray) -> jnp.ndarray:
+    """Shard the leading (batch) axis over dp, replicate over tp."""
+    return jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+
+def replicate(mesh: Mesh, x: jnp.ndarray) -> jnp.ndarray:
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_fast_keys(mesh: Mesh, fast):
+    """Lay out FastKeys for the mesh: bootstrap kernels replicated (read
+    every step), key-switch limbs sharded over tp rows (matmul contraction
+    -> psum over ICI)."""
+    from ..ops.blind_rotate import FastKeys
+    bsk = jax.device_put(fast.bsk_kernels, NamedSharding(mesh, P()))
+    ksk = jax.device_put(fast.ksk_limbs, NamedSharding(mesh, P(None, "tp")))
+    return FastKeys(fast.params, bsk, ksk, fast.orientation)
+
+
+def sharded_bootstrap(mesh: Mesh, fast):
+    """jitted batched FBS with dp-sharded inputs/outputs on ``mesh``."""
+    from ..ops.blind_rotate import _fbs_fast_impl
+    params = fast.params
+
+    def fn(big_cts, tvs, posts):
+        return _fbs_fast_impl(params, fast.orientation, fast.bsk_kernels,
+                              fast.ksk_limbs, big_cts, tvs, posts)
+
+    in_shard = NamedSharding(mesh, P("dp"))
+    out_shard = NamedSharding(mesh, P("dp"))
+    return jax.jit(fn, in_shardings=(in_shard, in_shard, in_shard),
+                   out_shardings=out_shard)

@@ -1,0 +1,215 @@
+"""Batched homomorphic executor for mapped FBS programs.
+
+Compiles a :class:`LutProgram` into a *levelized plan* and runs it under
+TFHE on device.  Design (SURVEY.md §5 "level-wise batched bootstrapping"):
+
+* The IR invariant (lincomb flattening, ``lut_program.py``) guarantees every
+  lincomb reads only inputs/bootstrap outputs, so the program is an
+  alternating lincomb/bootstrap DAG.  Wires (= LWE ciphertexts, big key)
+  exist only for inputs and bootstrap outputs; lincombs are fused into the
+  bootstrap that consumes them.
+* Bootstraps are grouped by depth level; all bootstraps of a level run as
+  ONE batched blind rotation — with a user batch of V circuit evaluations,
+  the kernel batch is (bootstraps_in_level × V).
+* The compiled plan is static arrays (gather indices, coefficient matrices,
+  test polynomials), so each level step is a single jitted call.
+
+This is the component the reference delegates wholesale to Zama Concrete
+(SURVEY.md §2 C18): it executes ``.lbf`` programs homomorphically with
+decryptions bit-exact against ``LutProgram.eval``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend.lut_program import (LutProgram, N_BOOT, N_CONST, N_INPUT,
+                                    N_LIN)
+from ..tfhe.encrypt import decode, encrypt_values, lwe_phase
+from ..tfhe.keys import TFHEKeys
+from ..tfhe.numeric import I32
+from ..tfhe.pbs import build_test_vector, functional_bootstrap
+from ..tfhe.params import TFHEParams
+
+__all__ = ["CircuitExecutor", "LevelPlan"]
+
+
+@dataclass
+class LevelPlan:
+    """Static tensors for one level of batched bootstraps."""
+
+    wire_idx: np.ndarray     # [nb, T] gather rows into the wire buffer
+    coefs: np.ndarray        # [nb, T] int32 lincomb coefficients (0-padded)
+    consts: np.ndarray       # [nb] int32 lincomb constant * delta (torus)
+    test_polys: np.ndarray   # [nb, N] int32
+    posts: np.ndarray        # [nb] int32 post-rotation body offsets
+    out_rows: np.ndarray     # [nb] destination rows in the wire buffer
+
+
+@dataclass
+class OutputSpec:
+    kind: str                # "wire" | "lin" | "const"
+    wire_idx: np.ndarray     # for lin: [T]; for wire: [1]
+    coefs: np.ndarray
+    const: int               # const term (value units) / const value
+
+
+class CircuitExecutor:
+    def __init__(self, prog: LutProgram, keys: TFHEKeys):
+        self.prog = prog
+        self.keys = keys
+        self.params: TFHEParams = keys.params
+        self._compile(prog)
+
+    # ------------------------------------------------------------- compile
+    def _compile(self, prog: LutProgram) -> None:
+        params = self.params
+        wire_row: dict[str, int] = {}
+        self.input_rows: dict[str, int] = {}
+        levels: dict[int, list] = {}
+        node_level: dict[str, int] = {}
+
+        def lin_parts(node):
+            rows, coefs = [], []
+            for c, v in node.terms:
+                rows.append(wire_row[v.name])
+                coefs.append(int(c))
+            return rows, coefs, int(node.const)
+
+        for node in prog.nodes:
+            if node.kind == N_INPUT:
+                wire_row[node.name] = len(wire_row)
+                self.input_rows[node.name] = wire_row[node.name]
+                node_level[node.name] = 0
+            elif node.kind == N_LIN:
+                lv = max((node_level[v.name] for _, v in node.terms),
+                         default=0)
+                node_level[node.name] = lv
+            elif node.kind == N_BOOT:
+                src = node.src
+                if src.kind == N_LIN:
+                    rows, coefs, const = lin_parts(src)
+                    lv = node_level[src.name] + 1
+                else:  # bootstrap of a raw input/bootstrap wire
+                    rows, coefs, const = [wire_row[src.name]], [1], 0
+                    lv = node_level[src.name] + 1
+                row = len(wire_row)
+                wire_row[node.name] = row
+                node_level[node.name] = lv
+                tv, post = build_test_vector(node.table, params)
+                levels.setdefault(lv, []).append(
+                    (rows, coefs, const, tv, post, row))
+
+        self.num_wires = len(wire_row)
+        self.num_bootstraps = sum(len(v) for v in levels.values())
+
+        self.levels: list[LevelPlan] = []
+        for lv in sorted(levels):
+            entries = levels[lv]
+            t_max = max(len(rows) for rows, *_ in entries)
+            nb = len(entries)
+            wire_idx = np.zeros((nb, t_max), dtype=np.int32)
+            coefs = np.zeros((nb, t_max), dtype=np.int32)
+            consts = np.zeros(nb, dtype=np.int32)
+            tvs = np.zeros((nb, params.poly_size), dtype=np.int32)
+            posts = np.zeros(nb, dtype=np.int32)
+            out_rows = np.zeros(nb, dtype=np.int32)
+            for j, (rows, cfs, const, tv, post, row) in enumerate(entries):
+                wire_idx[j, :len(rows)] = rows
+                coefs[j, :len(cfs)] = cfs
+                consts[j] = np.int64(const * params.delta) \
+                    .astype(np.uint32).astype(np.int32)
+                tvs[j] = tv
+                posts[j] = np.int64(post).astype(np.uint32).astype(np.int32)
+                out_rows[j] = row
+            self.levels.append(LevelPlan(wire_idx, coefs, consts, tvs,
+                                         posts, out_rows))
+
+        # outputs
+        self.outputs: dict[str, OutputSpec] = {}
+        for name, node in prog.outputs.items():
+            if node.kind == N_CONST:
+                self.outputs[name] = OutputSpec("const", np.zeros(0, np.int32),
+                                                np.zeros(0, np.int32),
+                                                node.const)
+            elif node.kind == N_LIN:
+                rows, cfs, const = lin_parts(node)
+                self.outputs[name] = OutputSpec(
+                    "lin", np.asarray(rows, np.int32),
+                    np.asarray(cfs, np.int32), const)
+            else:
+                self.outputs[name] = OutputSpec(
+                    "wire", np.asarray([wire_row[node.name]], np.int32),
+                    np.asarray([1], np.int32), 0)
+
+    # ---------------------------------------------------------------- run
+    def encrypt_inputs(self, values: dict[str, np.ndarray],
+                       rng: np.random.Generator) -> jnp.ndarray:
+        """Build the initial wire buffer [num_wires, V, kN+1]."""
+        v = len(next(iter(values.values()))) if values else 1
+        d = self.params.big_dim + 1
+        buf = np.zeros((self.num_wires, v, d), dtype=np.int32)
+        for name, row in self.input_rows.items():
+            cts = encrypt_values(self.keys, np.asarray(values[name]), rng)
+            buf[row] = np.asarray(cts)
+        return jnp.asarray(buf)
+
+    def run(self, buf: jnp.ndarray) -> jnp.ndarray:
+        """Execute all levels; returns the filled wire buffer."""
+        for plan in self.levels:
+            buf = _level_step(self.keys, buf,
+                              jnp.asarray(plan.wire_idx),
+                              jnp.asarray(plan.coefs),
+                              jnp.asarray(plan.consts),
+                              jnp.asarray(plan.test_polys),
+                              jnp.asarray(plan.posts),
+                              jnp.asarray(plan.out_rows))
+        return buf
+
+    def decrypt_outputs(self, buf: jnp.ndarray) -> dict[str, np.ndarray]:
+        params = self.params
+        key = self.keys.extracted_key
+        out: dict[str, np.ndarray] = {}
+        v = buf.shape[1]
+        for name, spec in self.outputs.items():
+            if spec.kind == "const":
+                out[name] = np.full(v, spec.const, dtype=np.int64)
+                continue
+            cts = buf[jnp.asarray(spec.wire_idx)]          # [T, V, d]
+            lin = jnp.einsum("t,tvd->vd", jnp.asarray(spec.coefs), cts,
+                             preferred_element_type=I32)
+            lin = lin.at[:, -1].add(
+                jnp.asarray(np.int64(spec.const * params.delta)
+                            .astype(np.uint32).astype(np.int32)))
+            phases = np.asarray(lwe_phase(key, lin))
+            out[name] = decode(phases, params)
+        return out
+
+    def run_cleartext(self, values: dict[str, np.ndarray],
+                      seed: int = 0) -> dict[str, np.ndarray]:
+        """encrypt → run → decrypt convenience wrapper."""
+        rng = np.random.default_rng(seed)
+        buf = self.encrypt_inputs(values, rng)
+        buf = self.run(buf)
+        return self.decrypt_outputs(buf)
+
+
+def _level_step(keys: TFHEKeys, buf, wire_idx, coefs, consts, tvs, posts,
+                out_rows):
+    """One level: fused lincombs + one batched FBS + scatter of results."""
+    nb, t_max = wire_idx.shape
+    _, v, d = buf.shape
+    gathered = buf[wire_idx]                              # [nb, T, V, d]
+    lin = jnp.einsum("nt,ntvd->nvd", coefs, gathered,
+                     preferred_element_type=I32)
+    lin = lin.at[:, :, -1].add(consts[:, None])
+    flat = lin.reshape(nb * v, d)
+    tvs_flat = jnp.repeat(tvs, v, axis=0)
+    posts_flat = jnp.repeat(posts, v, axis=0)
+    fresh = functional_bootstrap(keys, flat, tvs_flat, posts_flat)
+    fresh = fresh.reshape(nb, v, d)
+    return buf.at[out_rows].set(fresh)
