@@ -1,0 +1,120 @@
+"""Results analysis: tables and comparison constants.
+
+Parity with the reference's ``analyse_results.py`` (C21): per-benchmark
+best-cost summaries (``total_cost = nb_bootstrap × boot_cost``), map-time
+statistics, and the published comparison constants from the AutoHoG and
+Bon et al. papers (hardcoded in the reference at ``analyse_results.py:
+171-183, 215-244, 342-353``).  Emits markdown/CSV instead of raw LaTeX; pass
+``--latex`` for LaTeX rows.
+
+Usage::
+
+    python experiments/analyse.py outputs/generated_agg_est.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+# AutoHoG paper comparison constants (TFHE CPU eval seconds:
+# baseline / AutoHoG), reference analyse_results.py:171-183
+AUTOHOG_ISCAS85 = {
+    "c17": (0.1, 0.04), "c432": (3.0, 1.39), "c1355": (8.99, 1.49),
+    "c3540": (21.82, 5.6), "c7552": (45.81, 8.06),
+}
+
+# Bon et al. comparison targets (generated suite),
+# reference analyse_results.py:342-353
+BON_ET_AL = {
+    "simon_iter": dict(nb_fbs=1, p=9, cost_per_fbs=47),
+    "ascon_lut": dict(nb_fbs=5, p=17, cost_per_fbs=75),
+    "aes_sbox": dict(nb_fbs=36, p=11, cost_per_fbs=69),
+}
+
+
+def load(path: str) -> list[dict]:
+    with open(path) as f:
+        return [dict(r) for r in csv.DictReader(f)]
+
+
+def best_configs(rows: list[dict]) -> dict[str, dict]:
+    """Per benchmark: the (mapper, p) config minimizing total_cost."""
+    best: dict[str, dict] = {}
+    for r in rows:
+        try:
+            cost = float(r.get("total_cost", "nan"))
+        except ValueError:
+            continue
+        b = r["bench"]
+        if cost == cost and (b not in best
+                             or cost < float(best[b]["total_cost"])):
+            best[b] = r
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("csvs", nargs="+")
+    ap.add_argument("--latex", action="store_true")
+    args = ap.parse_args()
+
+    for path in args.csvs:
+        rows = load(path)
+        if not rows:
+            print(f"# {path}: empty", file=sys.stderr)
+            continue
+        best = best_configs(rows)
+        print(f"\n## {Path(path).stem}")
+        hdr = ["bench", "mapper", "p", "nb_bootstrap", "norm2",
+               "boot_cost_us", "total_cost_us", "map_time_s"]
+        if args.latex:
+            print(" & ".join(hdr) + r" \\")
+        else:
+            print("| " + " | ".join(hdr) + " |")
+            print("|" + "---|" * len(hdr))
+        for b in sorted(best):
+            r = best[b]
+            cells = [b, r["mapper"], r["fbs_size"], r["nb_bootstrap"],
+                     r["norm2_linprod"], r["boot_cost"], r["total_cost"],
+                     f"{float(r['time']):.2f}"]
+            if args.latex:
+                print(" & ".join(map(str, cells)) + r" \\")
+            else:
+                print("| " + " | ".join(map(str, cells)) + " |")
+
+        # Bon et al. comparison where applicable
+        printed_header = False
+        for b, ref in BON_ET_AL.items():
+            mine = [r for r in rows if r["bench"] == b
+                    and int(r["fbs_size"]) == ref["p"]
+                    and r["mapper"] == "search"]
+            if not mine:
+                continue
+            if not printed_header:
+                print("\n### vs Bon et al. (same p)")
+                printed_header = True
+            m = mine[0]
+            print(f"- {b}: ours {m['nb_bootstrap']} FBS @ p={ref['p']} "
+                  f"(norm2 {m['norm2_linprod']}) vs Bon et al. "
+                  f"{ref['nb_fbs']} FBS, cost/FBS {ref['cost_per_fbs']}")
+
+        # map-time-per-gate stats (reference f1, analyse_results.py:16-25)
+        by_mapper = defaultdict(list)
+        for r in rows:
+            try:
+                by_mapper[r["mapper"]].append(float(r["time"]))
+            except (KeyError, ValueError):
+                pass
+        print("\n### map time (s): mean per mapper")
+        for m, ts in sorted(by_mapper.items()):
+            print(f"- {m}: mean {sum(ts)/len(ts):.3f} "
+                  f"min {min(ts):.3f} max {max(ts):.3f} over {len(ts)} runs")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

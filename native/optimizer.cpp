@@ -1,0 +1,139 @@
+// TFHE parameter optimizer — native grid-search core.
+//
+// C++ counterpart of tfhe_fbs_map_tpu/optimizer/optimizer.py (the role the
+// patched Rust concrete-optimizer plays in the reference pipeline,
+// experiments/concrete.patch).  The Python module is the reference
+// implementation; this core exists for harness-scale sweeps where thousands
+// of (precision, norm2) cells are costed.  Exposed via a C ABI for ctypes.
+//
+// Build:  g++ -O3 -shared -fPIC -o liboptimizer.so optimizer.cpp
+//
+// The noise model must stay in lockstep with optimizer/noise.py; the
+// differential test tests/test_native_optimizer.py enforces agreement.
+
+#include <cmath>
+#include <cstdint>
+
+namespace {
+
+constexpr double Q = 4294967296.0;  // 2^32
+
+double min_noise_std_rel(int n) {
+  double v = std::pow(2.0, -0.0245 * n);
+  double floor_v = std::pow(2.0, -31);
+  return v > floor_v ? v : floor_v;
+}
+
+double var_blind_rotate(int n, int k, int N, int l, int base_log,
+                        double glwe_std) {
+  double b = double(1u << base_log);
+  double beta2 = std::pow(b, 2.0 * l);
+  double key_term =
+      double(n) * l * (k + 1) * N * ((b * b + 2.0) / 12.0) * glwe_std * glwe_std;
+  double round_term = double(n) * (1.0 + double(k) * N) / 2.0 * (Q * Q) /
+                      (12.0 * beta2);
+  return key_term + round_term;
+}
+
+double var_keyswitch(int k, int N, int l, int base_log, double lwe_std) {
+  double kn = double(k) * N;
+  double b = double(1u << base_log);
+  double key_term = kn * l * ((b * b) / 12.0) * lwe_std * lwe_std;
+  double bl = std::pow(b, double(l));
+  double round_term = kn * (Q / bl) * (Q / bl) / 24.0;
+  return key_term + round_term;
+}
+
+double var_modswitch(int n, int N) {
+  double w = Q / (2.0 * N);
+  return w * w * (1.0 + n / 2.0) / 12.0;
+}
+
+double p_error_atomic(int p, double sq_norm2, int n, int k, int N, int br_l,
+                      int br_b, int ks_l, int ks_b, double lwe_std,
+                      double glwe_std) {
+  double v_wire = var_blind_rotate(n, k, N, br_l, br_b, glwe_std);
+  double v_total = sq_norm2 * v_wire + var_keyswitch(k, N, ks_l, ks_b, lwe_std) +
+                   var_modswitch(n, N);
+  double sigma = std::sqrt(v_total);
+  double margin = Q / (4.0 * p);
+  if (sigma == 0.0) return 0.0;
+  return std::erfc(margin / (sigma * std::sqrt(2.0)));
+}
+
+// TPU v5e-class roofline (mirror of optimizer.py)
+constexpr double MXU_INT8_OPS = 394e12;
+constexpr double HBM_BYTES = 820e9;
+constexpr double MXU_EFFICIENCY = 0.25;
+
+double bootstrap_cost_us(int n, int k, int N, int br_l, int ks_l) {
+  double br_macs = double(n) * (k + 1) * (k + 1) * br_l * N * N * 4.0;
+  double ks_macs = double(k) * N * ks_l * (n + 1) * 4.0;
+  double compute_s = 2.0 * (br_macs + ks_macs) / (MXU_INT8_OPS * MXU_EFFICIENCY);
+  double acc_bytes = double(n) * 3.0 * (k + 1) * N * 4.0;
+  double mem_s = acc_bytes / HBM_BYTES;
+  return (compute_s > mem_s ? compute_s : mem_s) * 1e6;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct Solution {
+  int32_t lwe_dim, glwe_dim, poly_size;
+  int32_t bsk_level, bsk_base_log, ksk_level, ksk_base_log;
+  double lwe_noise_std, glwe_noise_std;
+  double cost_us, p_error;
+};
+
+// Returns 1 and fills *out on success, 0 if no parameter set meets the
+// error target.
+int32_t optimize_params(int32_t p, double sq_norm2, double max_p_error,
+                        int32_t fast_path_only, Solution* out) {
+  static const int glwe_shapes[][2] = {{1, 1024}, {2, 512},  {1, 2048},
+                                       {2, 1024}, {3, 512},  {4, 512},
+                                       {2, 2048}, {1, 4096}};
+  const int max_base = fast_path_only ? 7 : 8;
+  bool found = false;
+  double best_cost = 1e300;
+
+  for (const auto& kn : glwe_shapes) {
+    int k = kn[0], N = kn[1];
+    if (N < 2 * p) continue;
+    double glwe_std = min_noise_std_rel(k * N) * Q;
+    for (int n = 450; n < 1100; n += 32) {
+      double lwe_std = min_noise_std_rel(n) * Q;
+      for (int br_b = 4; br_b <= max_base; ++br_b) {
+        for (int br_l = 1; br_l <= 4; ++br_l) {
+          if (br_b * br_l > 32) continue;
+          for (int ks_b = 2; ks_b <= max_base; ++ks_b) {
+            for (int ks_l = 1; ks_l <= 8; ++ks_l) {
+              if (ks_b * ks_l > 32) continue;
+              double cost = bootstrap_cost_us(n, k, N, br_l, ks_l);
+              if (found && cost >= best_cost) continue;
+              double perr = p_error_atomic(p, sq_norm2, n, k, N, br_l, br_b,
+                                           ks_l, ks_b, lwe_std, glwe_std);
+              if (perr > max_p_error) continue;
+              found = true;
+              best_cost = cost;
+              out->lwe_dim = n;
+              out->glwe_dim = k;
+              out->poly_size = N;
+              out->bsk_level = br_l;
+              out->bsk_base_log = br_b;
+              out->ksk_level = ks_l;
+              out->ksk_base_log = ks_b;
+              out->lwe_noise_std = lwe_std;
+              out->glwe_noise_std = glwe_std;
+              out->cost_us = cost;
+              out->p_error = perr;
+            }
+          }
+        }
+      }
+    }
+  }
+  return found ? 1 : 0;
+}
+
+}  // extern "C"

@@ -90,23 +90,50 @@ def prepare_fast_keys(keys: TFHEKeys,
         # limbs: [n, L, rows*N, (k+1)*N].  The external product becomes one
         # s8xs8->s32 dot_general per limb — the MXU-native integer path.
         # Memory: n * L * rows*N * (k+1)*N bytes (e.g. 11.9 GB for
-        # n=630, k=2, N=512, l=2); built in chunks to bound transients.
-        from .polymul import negacyclic_matrix
+        # n=630, k=2, N=512, l=2).  Construction is gather-free (TPU
+        # gathers scalarize): row j of the negacyclic matrix is X^j·poly,
+        # and the stack of all N rotations is built by log2(N) doubling
+        # steps of *static* negacyclic rolls; chunks accumulate into a
+        # donated preallocated buffer.
+        from .polymul import negacyclic_roll_static
+
+        n_polys = rows * k1
+
+        def all_rotations(polys):                        # [P, N] -> [P, N, N]
+            r = polys[:, None, :]
+            step = 1
+            while step < N:
+                r = jnp.concatenate(
+                    [r, negacyclic_roll_static(r, step)], axis=1)
+                step *= 2
+            return r                                     # rows j = 0..N-1
 
         def build_chunk(bsk_chunk):                      # [c, rows, k+1, N]
-            mats = negacyclic_matrix(bsk_chunk)          # [c, rows, k+1, N, N]
+            c = bsk_chunk.shape[0]
+            polys = bsk_chunk.reshape(c * n_polys, N)
+            mats = all_rotations(polys)
+            mats = mats.reshape(c, rows, k1, N, N)       # [c, r, comp, j, t]
             limbs = signed_limbs(mats, N_LIMBS, LIMB_BITS)
-            limbs = jnp.moveaxis(limbs, -1, 1)           # [c, L, rows, k+1, N, N]
-            limbs = jnp.moveaxis(limbs, 4, 3)            # [c, L, rows, N, k+1, N]
-            return limbs.reshape(bsk_chunk.shape[0], N_LIMBS,
-                                 rows * N, k1 * N).astype(jnp.int8)
+            limbs = jnp.moveaxis(limbs, -1, 1)           # [c, L, r, comp, j, t]
+            limbs = jnp.moveaxis(limbs, 4, 3)            # [c, L, r, j, comp, t]
+            return limbs.reshape(c, N_LIMBS, rows * N, k1 * N) \
+                .astype(jnp.int8)
 
-        chunk = max(1, min(n, 8))
-        parts = []
+        chunk = max(1, min(n, 10))
         fn = jax.jit(build_chunk)
-        for i in range(0, n, chunk):
-            parts.append(fn(keys.bsk[i:i + chunk]))
-        kern = jnp.concatenate(parts, axis=0)            # [n, L, rN, k1N]
+
+        @partial(jax.jit, donate_argnums=0)
+        def _place(buf, part, i):
+            return jax.lax.dynamic_update_slice(buf, part, (i, 0, 0, 0))
+
+        kern = jnp.zeros((n, N_LIMBS, rows * N, k1 * N), dtype=jnp.int8)
+        i = 0
+        while i < n:
+            c = min(chunk, n - i)
+            part = fn(keys.bsk[i:i + c]) if c == chunk \
+                else jax.jit(build_chunk)(keys.bsk[i:i + c])
+            kern = _place(kern, part, i)
+            i += c
         kn_l = params.big_dim * params.ksk_level
         ksk_limbs = signed_limbs(
             keys.ksk.reshape(kn_l, params.lwe_dim + 1),

@@ -94,6 +94,7 @@ def monomial_rotate_onehot(poly: jnp.ndarray, amount: jnp.ndarray,
     ``poly``: [B, C, N] int32, ``amount``: [B] ints in [0, 2N).
     """
     batch, chans, n = poly.shape
+    lane = min(lane, n)
     m = n // lane
     assert n % lane == 0
     amount = jnp.asarray(amount).astype(I32)

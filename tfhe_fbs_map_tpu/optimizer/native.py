@@ -1,0 +1,76 @@
+"""ctypes binding of the native (C++) optimizer core.
+
+Builds ``native/optimizer.cpp`` with g++ on first use (cached as
+``native/liboptimizer.so``) and exposes :func:`optimize_native` with the
+same signature/result as :func:`tfhe_fbs_map_tpu.optimizer.optimize`.
+Falls back to ``None`` availability when no toolchain is present; callers
+use the pure-Python search then.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+from ..tfhe.params import TFHEParams
+from .optimizer import Solution
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SRC = _NATIVE_DIR / "optimizer.cpp"
+_LIB = _NATIVE_DIR / "liboptimizer.so"
+
+_lib = None
+
+
+class _CSolution(ctypes.Structure):
+    _fields_ = [
+        ("lwe_dim", ctypes.c_int32), ("glwe_dim", ctypes.c_int32),
+        ("poly_size", ctypes.c_int32), ("bsk_level", ctypes.c_int32),
+        ("bsk_base_log", ctypes.c_int32), ("ksk_level", ctypes.c_int32),
+        ("ksk_base_log", ctypes.c_int32),
+        ("lwe_noise_std", ctypes.c_double),
+        ("glwe_noise_std", ctypes.c_double),
+        ("cost_us", ctypes.c_double), ("p_error", ctypes.c_double),
+    ]
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
+            check=True, capture_output=True)
+    _lib = ctypes.CDLL(str(_LIB))
+    _lib.optimize_params.restype = ctypes.c_int32
+    _lib.optimize_params.argtypes = [
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+        ctypes.POINTER(_CSolution)]
+    return _lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def optimize_native(p: int, sq_norm2: float, max_p_error: float,
+                    fast_path_only: bool = True) -> Solution | None:
+    lib = _load()
+    out = _CSolution()
+    ok = lib.optimize_params(p, float(sq_norm2), float(max_p_error),
+                             1 if fast_path_only else 0, ctypes.byref(out))
+    if not ok:
+        return None
+    params = TFHEParams(
+        p=p, lwe_dim=out.lwe_dim, glwe_dim=out.glwe_dim,
+        poly_size=out.poly_size, bsk_level=out.bsk_level,
+        bsk_base_log=out.bsk_base_log, ksk_level=out.ksk_level,
+        ksk_base_log=out.ksk_base_log, lwe_noise_std=out.lwe_noise_std,
+        glwe_noise_std=out.glwe_noise_std)
+    return Solution(params, out.cost_us, out.p_error)

@@ -1,0 +1,130 @@
+"""Homomorphic circuit runner: execute mapped ``.lbf`` programs under TFHE.
+
+The executable counterpart the reference never ships (it stops at emitting
+``.lbf`` files and estimating their cost through Concrete; SURVEY.md §2
+C18).  This runner loads or maps a circuit, encrypts random (or provided)
+inputs, executes every lincomb/bootstrap level batched on the device,
+decrypts, and verifies bit-exactness against the cleartext oracle.
+
+    python -m tfhe_fbs_map_tpu.runtime circuit.lbf --batch 16
+    python -m tfhe_fbs_map_tpu.runtime circuit.blif --map --fbs_size 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Execute a mapped FBS circuit homomorphically")
+    ap.add_argument("filename", help=".lbf program or circuit to map")
+    ap.add_argument("--map", action="store_true",
+                    help="input is a source circuit: map it first")
+    ap.add_argument("--type", default="blif",
+                    choices=["blif", "bristol", "bench"])
+    ap.add_argument("--mapper", default="search",
+                    choices=["basic", "naive", "search"])
+    ap.add_argument("--fbs_size", type=int, default=None,
+                    help="FBS size (default: from --params or 4)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="number of circuit evaluations in parallel")
+    ap.add_argument("--keys", help="key checkpoint (.npz); generated if absent")
+    ap.add_argument("--save-keys", help="write generated keys here")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--test-params", action="store_true",
+                    help="use the small insecure test parameter set")
+    args = ap.parse_args(argv)
+
+    from ..frontend.lut_program import parse_lbf
+    from ..frontend.mapping.basic import BasicMapper
+    from ..frontend.mapping.heuristic import HeuristicMapper
+    from ..frontend.parsers import parse_circuit
+    from ..optimizer import optimize
+    from ..tfhe import TEST_PARAMS, generate_keys
+    from ..tfhe.keys import load_keys, save_keys
+    from .executor import CircuitExecutor
+
+    # --- obtain the program --------------------------------------------
+    circuit = None
+    if args.map:
+        circuit = parse_circuit(args.filename, args.type)
+        p = args.fbs_size or 4
+        if args.mapper == "basic":
+            prog = BasicMapper().map(circuit)
+        else:
+            prog = HeuristicMapper(cone_merger=args.mapper,
+                                   fbs_size=p).map(circuit)
+        prog.remove_dangling_nodes()
+    else:
+        prog = parse_lbf(open(args.filename).read())
+
+    stats = prog.stats()
+    p_needed = max(2, (stats["max_lut_size"] + 1) // 2)
+    print(f"# program: {stats}", file=sys.stderr)
+
+    # --- keys -----------------------------------------------------------
+    if args.keys:
+        keys = load_keys(args.keys)
+    else:
+        if args.test_params:
+            params = TEST_PARAMS.with_p(max(p_needed, TEST_PARAMS.p))
+        else:
+            sol = optimize(max(p_needed, args.fbs_size or p_needed),
+                           max(1, stats["norm2_linprod"]))
+            if sol is None:
+                print("no parameter set satisfies the error target",
+                      file=sys.stderr)
+                return 1
+            params = sol.params
+            print(f"# params: {params}", file=sys.stderr)
+        t0 = time.time()
+        keys = generate_keys(params, seed=args.seed)
+        print(f"# keygen: {time.time() - t0:.1f}s", file=sys.stderr)
+        if args.save_keys:
+            save_keys(args.save_keys, keys)
+
+    # --- encrypt / run / decrypt / verify ------------------------------
+    rng = np.random.default_rng(args.seed)
+    input_names = [n.name for n in prog.nodes if n.kind == "input"]
+    values = {name: rng.integers(0, 2, args.batch) for name in input_names}
+    oracle = prog.eval(values)
+
+    ex = CircuitExecutor(prog, keys)
+    t0 = time.time()
+    buf = ex.encrypt_inputs(values, rng)
+    enc_s = time.time() - t0
+    t0 = time.time()
+    buf = ex.run(buf)
+    _ = np.asarray(buf[:1, :1, -1:])   # force completion
+    run_s = time.time() - t0
+    got = ex.decrypt_outputs(buf)
+
+    errors = 0
+    for k, want in oracle.items():
+        if not np.all(np.asarray(want) == got[k]):
+            errors += 1
+            print(f"MISMATCH on output {k}: want {np.asarray(want)} "
+                  f"got {got[k]}", file=sys.stderr)
+
+    total_boots = ex.num_bootstraps * args.batch
+    print(json.dumps({
+        "bit_exact": errors == 0,
+        "outputs": len(oracle),
+        "levels": len(ex.levels),
+        "bootstraps": ex.num_bootstraps,
+        "batch": args.batch,
+        "encrypt_s": round(enc_s, 3),
+        "run_s": round(run_s, 3),
+        "boots_per_sec": round(total_boots / run_s, 2) if run_s else None,
+    }))
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,9 +59,14 @@ class OutputSpec:
 
 
 class CircuitExecutor:
-    def __init__(self, prog: LutProgram, keys: TFHEKeys):
+    def __init__(self, prog: LutProgram, keys: TFHEKeys,
+                 fast_keys=None):
+        """``fast_keys``: optional :class:`ops.blind_rotate.FastKeys`; when
+        given, bootstraps run on the MXU fast path instead of the generic
+        gather-based external product."""
         self.prog = prog
         self.keys = keys
+        self.fast_keys = fast_keys
         self.params: TFHEParams = keys.params
         self._compile(prog)
 
@@ -161,7 +166,7 @@ class CircuitExecutor:
     def run(self, buf: jnp.ndarray) -> jnp.ndarray:
         """Execute all levels; returns the filled wire buffer."""
         for plan in self.levels:
-            buf = _level_step(self.keys, buf,
+            buf = _level_step(self.keys, self.fast_keys, buf,
                               jnp.asarray(plan.wire_idx),
                               jnp.asarray(plan.coefs),
                               jnp.asarray(plan.consts),
@@ -198,8 +203,8 @@ class CircuitExecutor:
         return self.decrypt_outputs(buf)
 
 
-def _level_step(keys: TFHEKeys, buf, wire_idx, coefs, consts, tvs, posts,
-                out_rows):
+def _level_step(keys: TFHEKeys, fast_keys, buf, wire_idx, coefs, consts,
+                tvs, posts, out_rows):
     """One level: fused lincombs + one batched FBS + scatter of results."""
     nb, t_max = wire_idx.shape
     _, v, d = buf.shape
@@ -210,6 +215,11 @@ def _level_step(keys: TFHEKeys, buf, wire_idx, coefs, consts, tvs, posts,
     flat = lin.reshape(nb * v, d)
     tvs_flat = jnp.repeat(tvs, v, axis=0)
     posts_flat = jnp.repeat(posts, v, axis=0)
-    fresh = functional_bootstrap(keys, flat, tvs_flat, posts_flat)
+    if fast_keys is not None:
+        from ..ops.blind_rotate import functional_bootstrap_fast
+        fresh = functional_bootstrap_fast(fast_keys, flat, tvs_flat,
+                                          posts_flat)
+    else:
+        fresh = functional_bootstrap(keys, flat, tvs_flat, posts_flat)
     fresh = fresh.reshape(nb, v, d)
     return buf.at[out_rows].set(fresh)

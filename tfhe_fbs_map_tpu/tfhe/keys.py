@@ -59,6 +59,32 @@ class TFHEKeys:
                           for c in range(self.params.glwe_dim)])
 
 
+def save_keys(path: str, keys: TFHEKeys) -> None:
+    """Serialize a key set (checkpoint; .npz)."""
+    import dataclasses
+    np.savez_compressed(
+        path,
+        params=np.array([list(dataclasses.asdict(keys.params).values())],
+                        dtype=object),
+        param_names=np.array(
+            list(dataclasses.asdict(keys.params).keys())),
+        lwe_key=np.asarray(keys.lwe_key),
+        glwe_key=np.asarray(keys.glwe_key),
+        bsk=np.asarray(keys.bsk),
+        ksk=np.asarray(keys.ksk))
+
+
+def load_keys(path: str) -> TFHEKeys:
+    with np.load(path, allow_pickle=True) as z:
+        kw = dict(zip(z["param_names"].tolist(), z["params"][0]))
+        params = TFHEParams(**kw)
+        return TFHEKeys(params=params,
+                        lwe_key=jnp.asarray(z["lwe_key"]),
+                        glwe_key=jnp.asarray(z["glwe_key"]),
+                        bsk=jnp.asarray(z["bsk"]),
+                        ksk=jnp.asarray(z["ksk"]))
+
+
 def generate_keys(params: TFHEParams, seed: int = 0) -> TFHEKeys:
     rng = np.random.default_rng(seed)
     n, k, N = params.lwe_dim, params.glwe_dim, params.poly_size
