@@ -132,7 +132,20 @@ def main() -> int:
     ap.add_argument("--suite", default="generated", choices=list(SWEEPS))
     ap.add_argument("--jobs", type=int, default=4)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--bench", nargs="*", default=None,
+                    help="restrict to these benchmark stems")
+    ap.add_argument("--sizes", default=None,
+                    help="fbs sizes, e.g. 2-8 or 3,5,9")
     args = ap.parse_args()
+
+    if args.sizes:
+        if "-" in args.sizes:
+            lo, hi = args.sizes.split("-")
+            SWEEPS[args.suite] = (range(int(lo), int(hi) + 1),
+                                  SWEEPS[args.suite][1])
+        else:
+            SWEEPS[args.suite] = ([int(x) for x in args.sizes.split(",")],
+                                  SWEEPS[args.suite][1])
 
     bench_dir = REPO / "benchmarks" / args.suite
     out_dir = Path(args.out) if args.out else REPO / "outputs" / args.suite
@@ -147,6 +160,8 @@ def main() -> int:
 
     exts = {"blif": "*.blif", "bench": "*.bench", "bristol": "*.txt"}
     bench_files = sorted(bench_dir.glob(exts[SUITE_FORMAT[args.suite]]))
+    if args.bench:
+        bench_files = [b for b in bench_files if b.stem in args.bench]
     cfgs = list(configs_for(args.suite, bench_files, out_dir))
     print(f"{len(cfgs)} configs over {len(bench_files)} benchmarks")
 

@@ -64,7 +64,7 @@ double p_error_atomic(int p, double sq_norm2, int n, int k, int N, int br_l,
 // TPU v5e-class roofline (mirror of optimizer.py)
 constexpr double MXU_INT8_OPS = 394e12;
 constexpr double HBM_BYTES = 820e9;
-constexpr double MXU_EFFICIENCY = 0.25;
+constexpr double MXU_EFFICIENCY = 0.10;
 
 double bootstrap_cost_us(int n, int k, int N, int br_l, int ks_l) {
   double br_macs = double(n) * (k + 1) * (k + 1) * br_l * N * N * 4.0;

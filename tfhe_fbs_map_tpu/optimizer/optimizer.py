@@ -31,7 +31,7 @@ __all__ = ["Solution", "optimize", "bootstrap_cost_us"]
 # TPU v5e-class roofline constants (per chip)
 MXU_INT8_OPS = 394e12          # ops/s (2 ops per MAC)
 HBM_BYTES = 820e9              # bytes/s
-MXU_EFFICIENCY = 0.25          # achieved fraction on the conv fast path
+MXU_EFFICIENCY = 0.10          # measured on the s8 matmul path (v5e, r1)
 
 
 @dataclass(frozen=True)
