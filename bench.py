@@ -22,13 +22,15 @@ import numpy as np
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--quick", action="store_true",
                     help="tiny params (CPU smoke test)")
     ap.add_argument("--orientation", default="matmul",
                     choices=["matmul", "keys_lhs", "keys_lhs_bf16",
                              "keys_rhs"])
+    ap.add_argument("--bsk-limbs", type=int, default=4,
+                    help="key limbs kept (matmul path; 3 = quantized BSK)")
     args = ap.parse_args()
 
     import jax
@@ -66,9 +68,9 @@ def main() -> int:
 
     t0 = time.time()
     keys = generate_keys(params, seed=1)
-    fast = prepare_fast_keys(keys, orientation=args.orientation)
-    import jax.numpy as _j
-    fast.bsk_kernels.block_until_ready()
+    kw = {"bsk_limbs": args.bsk_limbs} if args.orientation == "matmul" else {}
+    fast = prepare_fast_keys(keys, orientation=args.orientation, **kw)
+    _ = np.asarray(fast.bsk_kernels[:1, :1, :1])  # real completion barrier
     keygen_s = time.time() - t0
     print(f"# keygen done in {keygen_s:.1f}s", file=sys.stderr)
 
@@ -83,7 +85,7 @@ def main() -> int:
     # warmup / compile
     t0 = time.time()
     out = functional_bootstrap_fast(fast, cts, tvs, posts)
-    out.block_until_ready()
+    _ = np.asarray(out[:1, -1:])  # real completion barrier
     compile_s = time.time() - t0
     print(f"# compile+first-run {compile_s:.1f}s", file=sys.stderr)
 

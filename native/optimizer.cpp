@@ -65,6 +65,7 @@ double p_error_atomic(int p, double sq_norm2, int n, int k, int N, int br_l,
 constexpr double MXU_INT8_OPS = 394e12;
 constexpr double HBM_BYTES = 820e9;
 constexpr double MXU_EFFICIENCY = 0.10;
+constexpr double MATMUL_HBM_BUDGET = 12e9;
 
 double bootstrap_cost_us(int n, int k, int N, int br_l, int ks_l) {
   double br_macs = double(n) * (k + 1) * (k + 1) * br_l * N * N * 4.0;
@@ -93,7 +94,7 @@ int32_t optimize_params(int32_t p, double sq_norm2, double max_p_error,
   static const int glwe_shapes[][2] = {{1, 1024}, {2, 512},  {1, 2048},
                                        {2, 1024}, {3, 512},  {4, 512},
                                        {2, 2048}, {1, 4096}};
-  const int max_base = fast_path_only ? 7 : 8;
+  const int max_base = 8;
   bool found = false;
   double best_cost = 1e300;
 
@@ -109,6 +110,11 @@ int32_t optimize_params(int32_t p, double sq_norm2, double max_p_error,
           for (int ks_b = 2; ks_b <= max_base; ++ks_b) {
             for (int ks_l = 1; ks_l <= 8; ++ks_l) {
               if (ks_b * ks_l > 32) continue;
+              if (fast_path_only) {
+                double rows = double(k + 1) * br_l;
+                double mat_bytes = double(n) * 4.0 * rows * N * (k + 1) * N;
+                if (mat_bytes > MATMUL_HBM_BUDGET) continue;
+              }
               double cost = bootstrap_cost_us(n, k, N, br_l, ks_l);
               if (found && cost >= best_cost) continue;
               double perr = p_error_atomic(p, sq_norm2, n, k, N, br_l, br_b,

@@ -20,7 +20,7 @@ def test_optimize_meets_target(p, norm2):
     sol = optimize(p, norm2)
     assert sol is not None, (p, norm2)
     assert sol.p_error <= P_ERROR_4_SIGMA
-    assert sol.params.bsk_base_log <= 7  # fast-path constraint
+    assert sol.params.bsk_base_log <= 8  # int8-digit constraint
     # security: noise at or above the 128-bit curve
     assert sol.params.lwe_noise_std >= \
         min_noise_std_rel(sol.params.lwe_dim) * Q * 0.99

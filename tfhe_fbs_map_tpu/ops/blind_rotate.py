@@ -69,8 +69,12 @@ class FastKeys:
         self.orientation = orientation
 
 
-def prepare_fast_keys(keys: TFHEKeys,
-                      orientation: str = "matmul") -> FastKeys:
+def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
+                      bsk_limbs: int = N_LIMBS) -> FastKeys:
+    """``bsk_limbs`` < 4 (matmul orientation only) drops the least
+    significant key limbs — BSK quantization: −25% MACs and memory per
+    dropped limb for a bounded extra noise term of std
+    ``sqrt(rows·N·(B²/12)·(2^(8·drop))²/12)`` per blind-rotate step."""
     params = keys.params
     if orientation != "matmul":
         assert params.bsk_base_log <= 7, (
@@ -108,15 +112,18 @@ def prepare_fast_keys(keys: TFHEKeys,
                 step *= 2
             return r                                     # rows j = 0..N-1
 
+        drop = N_LIMBS - bsk_limbs
+
         def build_chunk(bsk_chunk):                      # [c, rows, k+1, N]
             c = bsk_chunk.shape[0]
             polys = bsk_chunk.reshape(c * n_polys, N)
             mats = all_rotations(polys)
             mats = mats.reshape(c, rows, k1, N, N)       # [c, r, comp, j, t]
             limbs = signed_limbs(mats, N_LIMBS, LIMB_BITS)
+            limbs = limbs[..., drop:]                    # quantized BSK
             limbs = jnp.moveaxis(limbs, -1, 1)           # [c, L, r, comp, j, t]
             limbs = jnp.moveaxis(limbs, 4, 3)            # [c, L, r, j, comp, t]
-            return limbs.reshape(c, N_LIMBS, rows * N, k1 * N) \
+            return limbs.reshape(c, bsk_limbs, rows * N, k1 * N) \
                 .astype(jnp.int8)
 
         chunk = max(1, min(n, 10))
@@ -126,14 +133,23 @@ def prepare_fast_keys(keys: TFHEKeys,
         def _place(buf, part, i):
             return jax.lax.dynamic_update_slice(buf, part, (i, 0, 0, 0))
 
-        kern = jnp.zeros((n, N_LIMBS, rows * N, k1 * N), dtype=jnp.int8)
+        import numpy as _np
+        kern = jnp.zeros((n, bsk_limbs, rows * N, k1 * N), dtype=jnp.int8)
         i = 0
+        since_sync = 0
         while i < n:
             c = min(chunk, n - i)
             part = fn(keys.bsk[i:i + c]) if c == chunk \
                 else jax.jit(build_chunk)(keys.bsk[i:i + c])
             kern = _place(kern, part, i)
             i += c
+            since_sync += 1
+            if since_sync >= 16:
+                # bound the async dispatch queue (the tunneled backend's
+                # block_until_ready is unreliable; force a readback)
+                _np.asarray(kern[i - 1:i, :1, :1, :1])
+                since_sync = 0
+        _np.asarray(kern[:1, :1, :1, :1])
         kn_l = params.big_dim * params.ksk_level
         ksk_limbs = signed_limbs(
             keys.ksk.reshape(kn_l, params.lwe_dim + 1),
@@ -168,10 +184,16 @@ def prepare_fast_keys(keys: TFHEKeys,
     return FastKeys(params, kern, ksk_limbs, orientation)
 
 
-def _combine_limbs(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Σ_m x_m << (8m) along ``axis`` (exact mod 2^32)."""
-    parts = [jnp.take(x, m, axis=axis).astype(I32) << (LIMB_BITS * m)
-             for m in range(N_LIMBS)]
+def _combine_limbs(x: jnp.ndarray, axis: int,
+                   drop: int = 0) -> jnp.ndarray:
+    """Σ_m x_m << (8·(m+drop)) along ``axis`` (exact mod 2^32).
+
+    ``drop`` > 0 means the least-significant limbs were omitted upstream
+    (quantized bootstrapping key): remaining limbs shift up accordingly.
+    """
+    n_limbs = x.shape[axis]
+    parts = [jnp.take(x, m, axis=axis).astype(I32)
+             << (LIMB_BITS * (m + drop)) for m in range(n_limbs)]
     out = parts[0]
     for p in parts[1:]:
         out = out + p
@@ -193,10 +215,12 @@ def external_product_conv(diff: jnp.ndarray, kernels: jnp.ndarray,
 
     if orientation == "matmul":
         # kernels: [L, rows*N, (k+1)*N] int8 precomputed negacyclic limbs
+        # (L < 4 means the low limbs were dropped — quantized BSK)
         flat = digits.reshape(batch, k1 * l * N)
         prods = jnp.einsum("bt,mtd->bmd", flat, kernels,
                            preferred_element_type=I32)   # [B, L, k1*N]
-        out = _combine_limbs(prods, axis=1)              # [B, k1*N]
+        out = _combine_limbs(prods, axis=1,
+                             drop=N_LIMBS - kernels.shape[0])
         return out.reshape(batch, k1, N)
 
     if orientation == "keys_rhs":

@@ -61,10 +61,17 @@ def native_available() -> bool:
 
 def optimize_native(p: int, sq_norm2: float, max_p_error: float,
                     fast_path_only: bool = True) -> Solution | None:
+    from .optimizer import GENERIC_PATH_SLOWDOWN
     lib = _load()
     out = _CSolution()
+    slowdown = 1.0
     ok = lib.optimize_params(p, float(sq_norm2), float(max_p_error),
                              1 if fast_path_only else 0, ctypes.byref(out))
+    if not ok and fast_path_only:
+        # same fallback as the Python search: generic path, scaled cost
+        ok = lib.optimize_params(p, float(sq_norm2), float(max_p_error), 0,
+                                 ctypes.byref(out))
+        slowdown = GENERIC_PATH_SLOWDOWN
     if not ok:
         return None
     params = TFHEParams(
@@ -73,4 +80,4 @@ def optimize_native(p: int, sq_norm2: float, max_p_error: float,
         bsk_base_log=out.bsk_base_log, ksk_level=out.ksk_level,
         ksk_base_log=out.ksk_base_log, lwe_noise_std=out.lwe_noise_std,
         glwe_noise_std=out.glwe_noise_std)
-    return Solution(params, out.cost_us, out.p_error)
+    return Solution(params, out.cost_us * slowdown, out.p_error)

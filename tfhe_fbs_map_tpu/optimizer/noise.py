@@ -65,6 +65,19 @@ def p_error_atomic(p: int, sq_norm2: float, n: int, k: int, N: int,
     return math.erfc(margin / (sigma * math.sqrt(2.0)))
 
 
+def var_bsk_quantization(n: int, k: int, N: int, l: int, base_log: int,
+                         dropped_limbs: int) -> float:
+    """Extra variance from dropping the low ``dropped_limbs`` 8-bit limbs of
+    the precomputed bootstrapping-key matrices (ops/blind_rotate.py
+    ``bsk_limbs``): per blind-rotate step, each of the (k+1)·l·N digit
+    products picks up a uniform error of width 2^(8·drop)."""
+    if dropped_limbs == 0:
+        return 0.0
+    b = float(1 << base_log)
+    err_w = float(1 << (8 * dropped_limbs))
+    return n * l * (k + 1) * N * ((b * b) / 12.0) * (err_w * err_w / 12.0)
+
+
 # 4-sigma default target, as in the reference pipeline
 # (concrete-optimizer `_4_SIGMA`).
 P_ERROR_4_SIGMA = 1.0 - math.erf(4.0 / math.sqrt(2.0))

@@ -10,8 +10,10 @@ second-to-last comma field as the bootstrap cost).  Differences by design:
   bootstrap at batch saturation;
 * security is enforced via the 128-bit curve ``min_noise_std_rel``
   (tfhe/params.py) for both the LWE and GLWE keys;
-* candidates are restricted to the MXU conv fast path by default
-  (gadget base_log ≤ 7 so digits fit int8 after negation).
+* candidates are restricted to the MXU s8-matmul fast path by default:
+  gadget base_log ≤ 8 (digits must fit int8) and the precomputed negacyclic
+  key-matrix limbs must fit the HBM budget
+  (``n · 4 · (k+1)·l·N · (k+1)·N`` bytes ≤ 12 GB).
 
 A C++ implementation of the same grid search lives in
 ``native/optimizer.cpp`` (built via ctypes) for harness-scale sweeps; this
@@ -32,6 +34,8 @@ __all__ = ["Solution", "optimize", "bootstrap_cost_us"]
 MXU_INT8_OPS = 394e12          # ops/s (2 ops per MAC)
 HBM_BYTES = 820e9              # bytes/s
 MXU_EFFICIENCY = 0.10          # measured on the s8 matmul path (v5e, r1)
+MATMUL_HBM_BUDGET = 12e9       # precomputed key-matrix budget (bytes)
+GENERIC_PATH_SLOWDOWN = 20.0   # measured generic-vs-matmul path ratio (r1)
 
 
 @dataclass(frozen=True)
@@ -59,12 +63,30 @@ def optimize(p: int, sq_norm2: float,
              max_p_error: float = P_ERROR_4_SIGMA,
              fast_path_only: bool = True,
              security_bits: int = 128) -> Solution | None:
-    """Grid-search the cheapest parameter set meeting the error target."""
+    """Grid-search the cheapest parameter set meeting the error target.
+
+    ``fast_path_only=True`` means *prefer* the s8-matmul fast path (HBM
+    budget permitting); when no candidate fits, the search reruns without
+    the memory constraint and costs are scaled by the measured
+    generic-path slowdown.
+    """
+    best = _optimize_inner(p, sq_norm2, max_p_error, True)
+    if best is None:
+        best = _optimize_inner(p, sq_norm2, max_p_error, False)
+        if best is not None:
+            best = Solution(best.params,
+                            best.cost * GENERIC_PATH_SLOWDOWN,
+                            best.p_error)
+    return best
+
+
+def _optimize_inner(p: int, sq_norm2: float, max_p_error: float,
+                    fast_path_only: bool) -> Solution | None:
     best: Solution | None = None
 
     glwe_shapes = [(1, 1024), (2, 512), (1, 2048), (2, 1024), (3, 512),
                    (4, 512), (2, 2048), (1, 4096)]
-    max_base = 7 if fast_path_only else 8
+    max_base = 8
 
     for k, N in glwe_shapes:
         if N < 2 * p:        # need at least one poly coeff per half-window
@@ -80,6 +102,11 @@ def optimize(p: int, sq_norm2: float,
                         for ks_l in range(1, 9):
                             if ks_b * ks_l > 32:
                                 continue
+                            if fast_path_only:
+                                rows = (k + 1) * br_l
+                                mat_bytes = n * 4 * rows * N * (k + 1) * N
+                                if mat_bytes > MATMUL_HBM_BUDGET:
+                                    continue
                             cost = bootstrap_cost_us(n, k, N, br_l, ks_l)
                             if best is not None and cost >= best.cost:
                                 continue
