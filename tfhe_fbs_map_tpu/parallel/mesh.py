@@ -45,11 +45,20 @@ def replicate(mesh: Mesh, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def shard_fast_keys(mesh: Mesh, fast):
-    """Lay out FastKeys for the mesh: bootstrap kernels replicated (read
-    every step), key-switch limbs sharded over tp rows (matmul contraction
-    -> psum over ICI)."""
+    """Lay out FastKeys for the mesh.
+
+    * key-switch limbs: sharded over tp rows (contraction -> psum over ICI);
+    * matmul-orientation bootstrap kernels ([n, L, rows·N, (k+1)N]): the
+      contraction dimension rows·N is sharded over tp — each chip holds a
+      slice of every negacyclic key matrix and the external product's
+      partial sums meet in an ICI psum.  Other orientations replicate.
+    """
     from ..ops.blind_rotate import FastKeys
-    bsk = jax.device_put(fast.bsk_kernels, NamedSharding(mesh, P()))
+    if fast.orientation == "matmul":
+        bsk = jax.device_put(fast.bsk_kernels,
+                             NamedSharding(mesh, P(None, None, "tp", None)))
+    else:
+        bsk = jax.device_put(fast.bsk_kernels, NamedSharding(mesh, P()))
     ksk = jax.device_put(fast.ksk_limbs, NamedSharding(mesh, P(None, "tp")))
     return FastKeys(fast.params, bsk, ksk, fast.orientation)
 
