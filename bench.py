@@ -70,7 +70,7 @@ def main() -> int:
     keys = generate_keys(params, seed=1)
     kw = {"bsk_limbs": args.bsk_limbs} if args.orientation == "matmul" else {}
     fast = prepare_fast_keys(keys, orientation=args.orientation, **kw)
-    _ = np.asarray(fast.bsk_kernels[:1, :1, :1])  # real completion barrier
+    _ = np.asarray(fast.bsk_kernels[:1, :1])  # real completion barrier
     keygen_s = time.time() - t0
     print(f"# keygen done in {keygen_s:.1f}s", file=sys.stderr)
 

@@ -47,7 +47,7 @@ def main() -> int:
     keys = generate_keys(params, seed=1)
     fast = prepare_fast_keys(keys, orientation="matmul",
                              bsk_limbs=args.bsk_limbs)
-    np.asarray(fast.bsk_kernels[:1, :1, :1, :1])  # force
+    np.asarray(fast.bsk_kernels[:1, :1])  # force
     print(f"# keygen {time.time() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(7)

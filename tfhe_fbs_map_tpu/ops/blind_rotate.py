@@ -1,23 +1,25 @@
-"""MXU fast path for the programmable bootstrap.
+"""MXU fast paths for the programmable bootstrap.
 
 The blind-rotate hot loop costs ``n · (k+1)² · l · N²`` MACs per ciphertext —
-all the FLOPs of the framework.  This module formulates the external product
-as a **1D integer convolution**:
+all the FLOPs of the framework.  Orientations, fastest first (measured
+numbers in PERF.md):
 
-* digit polys (one per GGSW row) are the conv *input channels*,
-* output GLWE components × key limbs are the *output channels*,
-* the negacyclic wrap is handled by extending digits to ``[d, -d]`` (X^N=-1)
-  and taking the valid window,
+* ``"matmul"`` (default, 1620 boots/s): precomputed negacyclic matrices of
+  every GGSW row poly as int8 limbs; the external product is ONE wide
+  s8×s8→s32 ``dot_general`` per step (the MXU-native integer path) and the
+  monomial rotation is a batched one-hot matmul.  HBM cost
+  ``n·L·rows·N·(k+1)·N`` bytes; optional BSK limb-drop quantization.
+* ``"keys_lhs_bf16"`` / ``"keys_lhs"`` / ``"keys_rhs"``: convolution
+  formulations (digit or key operand extended negacyclically to handle
+  X^N = −1).  No precompute memory, but TPU XLA has no s8 conv path, so
+  these run well below MXU rate; kept as memory-lean fallbacks and as
+  differential references.
 
-so XLA lowers the whole CMux onto the MXU via its implicit-im2col conv path
-— no precomputed N×N matrices (which would not fit HBM) and no large
-gathers.  Exactness mod 2^32: the bootstrapping/key-switch keys are split
-into 4 balanced int8 limbs (s8 × s8 → s32 accumulation never exceeds 2^26),
-recombined with wrapping shifts.
-
-Constraint: gadget digits must fit int8 *after negation*, i.e. base_log ≤ 7
-for the bootstrap decomposition (params with base_log 8 fall back to the
-generic path in :mod:`tfhe_fbs_map_tpu.tfhe.pbs`).
+Exactness mod 2^32 everywhere: keys split into balanced 8-bit limbs
+(s32 accumulation stays < 2^27; bf16 paths additionally sub-split digits so
+f32 accumulation stays < 2^24), recombined with wrapping shifts.  Every
+path is asserted bit-identical to the generic
+:mod:`tfhe_fbs_map_tpu.tfhe.pbs` implementation in tests/test_fast_path.py.
 """
 
 from __future__ import annotations
@@ -121,9 +123,10 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
             mats = mats.reshape(c, rows, k1, N, N)       # [c, r, comp, j, t]
             limbs = signed_limbs(mats, N_LIMBS, LIMB_BITS)
             limbs = limbs[..., drop:]                    # quantized BSK
-            limbs = jnp.moveaxis(limbs, -1, 1)           # [c, L, r, comp, j, t]
-            limbs = jnp.moveaxis(limbs, 4, 3)            # [c, L, r, j, comp, t]
-            return limbs.reshape(c, bsk_limbs, rows * N, k1 * N) \
+            # contraction dim (r, j) major; output dim (limb, comp, t):
+            # limb-major so one wide matmul covers all limbs
+            limbs = jnp.transpose(limbs, (0, 1, 3, 5, 2, 4))
+            return limbs.reshape(c, rows * N, bsk_limbs * k1 * N) \
                 .astype(jnp.int8)
 
         chunk = max(1, min(n, 10))
@@ -131,10 +134,10 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
 
         @partial(jax.jit, donate_argnums=0)
         def _place(buf, part, i):
-            return jax.lax.dynamic_update_slice(buf, part, (i, 0, 0, 0))
+            return jax.lax.dynamic_update_slice(buf, part, (i, 0, 0))
 
         import numpy as _np
-        kern = jnp.zeros((n, bsk_limbs, rows * N, k1 * N), dtype=jnp.int8)
+        kern = jnp.zeros((n, rows * N, bsk_limbs * k1 * N), dtype=jnp.int8)
         i = 0
         since_sync = 0
         while i < n:
@@ -147,9 +150,9 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
             if since_sync >= 16:
                 # bound the async dispatch queue (the tunneled backend's
                 # block_until_ready is unreliable; force a readback)
-                _np.asarray(kern[i - 1:i, :1, :1, :1])
+                _np.asarray(kern[i - 1:i, :1, :1])
                 since_sync = 0
-        _np.asarray(kern[:1, :1, :1, :1])
+        _np.asarray(kern[:1, :1, :1])
         kn_l = params.big_dim * params.ksk_level
         ksk_limbs = signed_limbs(
             keys.ksk.reshape(kn_l, params.lwe_dim + 1),
@@ -214,13 +217,15 @@ def external_product_conv(diff: jnp.ndarray, kernels: jnp.ndarray,
     digits = digits.reshape(batch, k1 * l, N).astype(jnp.int8)
 
     if orientation == "matmul":
-        # kernels: [L, rows*N, (k+1)*N] int8 precomputed negacyclic limbs
+        # kernels: [rows*N, L*(k+1)*N] int8 precomputed negacyclic limbs,
+        # limb-major in the output dim so all limbs ride ONE wide s8 matmul
         # (L < 4 means the low limbs were dropped — quantized BSK)
         flat = digits.reshape(batch, k1 * l * N)
-        prods = jnp.einsum("bt,mtd->bmd", flat, kernels,
-                           preferred_element_type=I32)   # [B, L, k1*N]
-        out = _combine_limbs(prods, axis=1,
-                             drop=N_LIMBS - kernels.shape[0])
+        n_l = kernels.shape[1] // (k1 * N)
+        prods = jnp.einsum("bt,td->bd", flat, kernels,
+                           preferred_element_type=I32)   # [B, L*k1*N]
+        prods = prods.reshape(batch, n_l, k1 * N)
+        out = _combine_limbs(prods, axis=1, drop=N_LIMBS - n_l)
         return out.reshape(batch, k1, N)
 
     if orientation == "keys_rhs":

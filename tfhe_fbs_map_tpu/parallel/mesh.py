@@ -56,7 +56,7 @@ def shard_fast_keys(mesh: Mesh, fast):
     from ..ops.blind_rotate import FastKeys
     if fast.orientation == "matmul":
         bsk = jax.device_put(fast.bsk_kernels,
-                             NamedSharding(mesh, P(None, None, "tp", None)))
+                             NamedSharding(mesh, P(None, "tp", None)))
     else:
         bsk = jax.device_put(fast.bsk_kernels, NamedSharding(mesh, P()))
     ksk = jax.device_put(fast.ksk_limbs, NamedSharding(mesh, P(None, "tp")))
