@@ -22,7 +22,7 @@ table, which keeps the mapper's hot loops free of isinstance dispatch.
 from __future__ import annotations
 
 import sys
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 

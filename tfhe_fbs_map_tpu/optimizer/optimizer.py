@@ -22,7 +22,6 @@ module is the reference implementation and fallback.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 from ..tfhe.params import TFHEParams, min_noise_std_rel, Q

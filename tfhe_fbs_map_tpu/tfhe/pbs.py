@@ -27,7 +27,7 @@ import numpy as np
 
 from ..ops.polymul import monomial_rotate, negacyclic_matrix
 from .keys import TFHEKeys
-from .numeric import I32, U32, gadget_decompose, round_shift_right
+from .numeric import I32, gadget_decompose, round_shift_right
 from .params import Q_BITS, TFHEParams
 
 __all__ = ["build_test_vector", "keyswitch", "blind_rotate", "sample_extract",
