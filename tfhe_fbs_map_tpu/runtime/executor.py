@@ -109,20 +109,32 @@ class CircuitExecutor:
                 levels.setdefault(lv, []).append(
                     (rows, coefs, const, tv, post, row))
 
-        self.num_wires = len(wire_row)
+        # One extra dummy wire row receives the results of padding slots, so
+        # every level can be padded to a power-of-two bootstrap count and
+        # share a handful of compiled kernel shapes instead of one per level.
+        self.dummy_row = len(wire_row)
+        self.num_wires = len(wire_row) + 1
         self.num_bootstraps = sum(len(v) for v in levels.values())
+
+        t_global = max((len(rows) for v in levels.values()
+                        for rows, *_ in v), default=1)
+
+        def bucket(nb: int) -> int:
+            b = 1
+            while b < nb:
+                b *= 2
+            return b
 
         self.levels: list[LevelPlan] = []
         for lv in sorted(levels):
             entries = levels[lv]
-            t_max = max(len(rows) for rows, *_ in entries)
-            nb = len(entries)
-            wire_idx = np.zeros((nb, t_max), dtype=np.int32)
-            coefs = np.zeros((nb, t_max), dtype=np.int32)
+            nb = bucket(len(entries))
+            wire_idx = np.zeros((nb, t_global), dtype=np.int32)
+            coefs = np.zeros((nb, t_global), dtype=np.int32)
             consts = np.zeros(nb, dtype=np.int32)
             tvs = np.zeros((nb, params.poly_size), dtype=np.int32)
             posts = np.zeros(nb, dtype=np.int32)
-            out_rows = np.zeros(nb, dtype=np.int32)
+            out_rows = np.full(nb, self.dummy_row, dtype=np.int32)
             for j, (rows, cfs, const, tv, post, row) in enumerate(entries):
                 wire_idx[j, :len(rows)] = rows
                 coefs[j, :len(cfs)] = cfs
