@@ -129,30 +129,23 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
             return limbs.reshape(c, rows * N, bsk_limbs * k1 * N) \
                 .astype(jnp.int8)
 
-        chunk = max(1, min(n, 10))
-        fn = jax.jit(build_chunk)
-
-        @partial(jax.jit, donate_argnums=0)
-        def _place(buf, part, i):
-            return jax.lax.dynamic_update_slice(buf, part, (i, 0, 0))
-
+        # One jit + lax.map over chunks: a single device dispatch building
+        # the full buffer (looping host-side with dynamic_update_slice risks
+        # a full-buffer copy per chunk when donation is not honored).
         import numpy as _np
-        kern = jnp.zeros((n, rows * N, bsk_limbs * k1 * N), dtype=jnp.int8)
-        i = 0
-        since_sync = 0
-        while i < n:
-            c = min(chunk, n - i)
-            part = fn(keys.bsk[i:i + c]) if c == chunk \
-                else jax.jit(build_chunk)(keys.bsk[i:i + c])
-            kern = _place(kern, part, i)
-            i += c
-            since_sync += 1
-            if since_sync >= 16:
-                # bound the async dispatch queue (the tunneled backend's
-                # block_until_ready is unreliable; force a readback)
-                _np.asarray(kern[i - 1:i, :1, :1])
-                since_sync = 0
-        _np.asarray(kern[:1, :1, :1])
+        chunk = 1
+        for c in (10, 8, 16, 7, 5, 9, 6, 4, 3, 2):
+            if n % c == 0:
+                chunk = c
+                break
+        bsk_r = keys.bsk.reshape(n // chunk, chunk, rows, k1, N)
+
+        @jax.jit
+        def build_all(b):
+            return jax.lax.map(build_chunk, b)
+
+        kern = build_all(bsk_r).reshape(n, rows * N, bsk_limbs * k1 * N)
+        _np.asarray(kern[:1, :1, :1])  # real completion barrier
         kn_l = params.big_dim * params.ksk_level
         ksk_limbs = signed_limbs(
             keys.ksk.reshape(kn_l, params.lwe_dim + 1),
