@@ -19,7 +19,8 @@ def keys():
 
 
 @pytest.fixture(scope="module",
-                params=["keys_rhs", "keys_lhs", "keys_lhs_bf16", "matmul"])
+                params=["keys_rhs", "keys_lhs", "keys_lhs_bf16", "matmul",
+                        "fused"])
 def fast(request, keys):
     return prepare_fast_keys(keys, orientation=request.param)
 
@@ -30,10 +31,14 @@ def test_external_product_conv_matches_generic(keys, fast):
     diff = rng.integers(0, 1 << 32, (5, p.glwe_dim + 1, p.poly_size),
                         dtype=np.uint32).astype(np.int32)
     diff = jnp.asarray(diff)
+    # "fused" shares the matmul key layout; its per-step product is
+    # exercised through the full bootstrap below
+    orientation = ("matmul" if fast.orientation == "fused"
+                   else fast.orientation)
     for i in (0, 3, p.lwe_dim - 1):
         want = external_product(diff, keys.bsk[i], p)
         got = external_product_conv(diff, fast.bsk_kernels[i], p,
-                                    fast.orientation)
+                                    orientation)
         assert np.array_equal(np.asarray(want).astype(np.uint32),
                               np.asarray(got).astype(np.uint32)), i
 

@@ -78,7 +78,7 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
     dropped limb for a bounded extra noise term of std
     ``sqrt(rows·N·(B²/12)·(2^(8·drop))²/12)`` per blind-rotate step."""
     params = keys.params
-    if orientation != "matmul":
+    if orientation not in ("matmul", "fused"):
         assert params.bsk_base_log <= 7, (
             "conv fast path needs bootstrap digits that fit int8 after "
             f"negation (base_log {params.bsk_base_log} > 7)")
@@ -91,7 +91,7 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
     rows = k1 * params.bsk_level
     N = params.poly_size
 
-    if orientation == "matmul":
+    if orientation in ("matmul", "fused"):
         # Precomputed negacyclic matrices of every GGSW row poly, as int8
         # limbs: [n, L, rows*N, (k+1)*N].  The external product becomes one
         # s8xs8->s32 dot_general per limb — the MXU-native integer path.
@@ -305,6 +305,21 @@ def _fbs_fast_impl(params: TFHEParams, orientation: str, bsk_kernels,
 
     a_t = _modswitch(small[:, :n], params)
     b_t = _modswitch(small[:, n], params)
+
+    if orientation == "fused":
+        # all n CMux steps in one Pallas kernel, accumulator VMEM-resident
+        from .fused_blind_rotate import blind_rotate_fused
+        b_init = ((2 * N - b_t) % (2 * N))[:, None]
+        a_steps = jnp.transpose(a_t)[:, :, None]
+        acc = blind_rotate_fused(b_init, a_steps, test_polys, bsk_kernels,
+                                 params,
+                                 jax.default_backend() != "tpu")
+        acc = jnp.transpose(acc, (1, 0, 2))              # [B, k+1, N]
+        a = acc[:, :k, :]
+        a_ext = jnp.concatenate([a[..., :1], -a[..., :0:-1]], axis=-1)
+        out = jnp.concatenate(
+            [a_ext.reshape(batch, k * N), acc[:, k, :1]], axis=1)
+        return out.at[:, -1].add(posts)
 
     v_init = monomial_rotate(test_polys, (2 * N - b_t) % (2 * N))
     acc = jnp.concatenate(

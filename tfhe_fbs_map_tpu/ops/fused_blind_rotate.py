@@ -1,0 +1,169 @@
+"""Fully-fused Pallas blind-rotate kernel.
+
+One ``pallas_call`` executes all ``n`` CMux steps of the blind rotation
+(the executor core the reference delegates to Zama Concrete — SURVEY.md §2
+C18) with the accumulator resident in VMEM for the whole loop:
+
+* grid = (n steps, bsk_limbs·(k+1) output chunks); the precomputed
+  negacyclic key-matrix limbs (``prepare_fast_keys`` orientation="matmul")
+  stream HBM→VMEM one [rows·N, N] chunk at a time, double-buffered by the
+  Pallas pipeline;
+* the per-ciphertext monomial rotation is a **barrel shifter fused in
+  VMEM**: log2(2N) stages of static ``pltpu.roll`` + per-row bit selects.
+  (The XLA version of this materializes every stage through HBM — PERF.md;
+  in-kernel it is pure VPU work.)
+* gadget decomposition (VPU integer ops) writes int8 digits to a VMEM
+  scratch once per step; each chunk then runs ONE s8×s8→s32 MXU ``dot``
+  and accumulates the limb-shifted product straight into the accumulator
+  (= the output block, flushed to HBM once at the end).
+
+Accumulator layout is [k+1, B, N] — batch on sublanes, coefficients on
+lanes, GLWE components as an un-tiled leading axis (a [B, k+1, N] layout
+would waste 8/(k+1) of VMEM to sublane padding).
+
+Bit-identical to :func:`tfhe_fbs_map_tpu.tfhe.pbs.blind_rotate` (asserted in
+tests/test_fast_path.py); used by ``functional_bootstrap_fast`` via
+orientation="fused".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tfhe.numeric import I32
+from ..tfhe.params import TFHEParams
+
+__all__ = ["blind_rotate_fused"]
+
+U32 = jnp.uint32
+
+
+def _barrel_rotate(x: jnp.ndarray, amt: jnp.ndarray,
+                   interpret: bool) -> jnp.ndarray:
+    """X^amt · x with per-row amounts: log2(2N) static-roll stages.
+
+    ``x``: [B, N] int32 (N on lanes); ``amt``: [B, 1] int32 in [0, 2N).
+    Stage j rolls right by 2^j (negating the wrapped-in prefix, X^N = -1)
+    and each row keeps the rolled value iff bit j of its amount is set.
+    """
+    n = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    out = x
+    shift = 1
+    while shift < n:
+        if interpret:
+            rolled = jnp.roll(out, shift, axis=1)
+        else:
+            rolled = pltpu.roll(out, shift, axis=1)
+        rolled = jnp.where(col < shift, -rolled, rolled)
+        out = jnp.where((amt & shift) != 0, rolled, out)
+        shift *= 2
+    return jnp.where((amt & n) != 0, -out, out)
+
+
+def _decompose_digits(diff: jnp.ndarray, base_log: int,
+                      levels: int) -> list[jnp.ndarray]:
+    """Balanced signed gadget digits, most-significant level first.
+
+    Mirrors :func:`tfhe_fbs_map_tpu.tfhe.numeric.gadget_decompose` with
+    elementwise uint32 ops.  ``diff``: [B, N] int32; digits ∈ [-2^(b-1),
+    2^(b-1)) fit int8 for base_log ≤ 8.
+    """
+    b, l = base_log, levels
+    u = diff.astype(U32)
+    closest = (u + U32(1 << (31 - b * l))) >> U32(32 - b * l)
+    half = U32(1 << (b - 1))
+    mask = U32((1 << b) - 1)
+    digits = []
+    for _ in range(l):
+        d = closest & mask
+        closest = closest >> U32(b)
+        carry = (d >= half).astype(U32)
+        d = d.astype(I32) - (carry.astype(I32) << b)
+        closest = closest + carry
+        digits.append(d)
+    return digits[::-1]
+
+
+def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref, *,
+            params: TFHEParams, n_limbs: int, interpret: bool):
+    k1 = params.glwe_dim + 1
+    l, b = params.bsk_level, params.bsk_base_log
+    N = params.poly_size
+    drop = 4 - n_limbs
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        for c in range(k1 - 1):
+            out_ref[c] = jnp.zeros_like(out_ref[c])
+        out_ref[k1 - 1] = _barrel_rotate(tv_ref[:], binit_ref[:], interpret)
+
+    @pl.when(j == 0)
+    def _rotate_and_decompose():
+        amt = a_ref[0]
+        for c in range(k1):
+            acc_c = out_ref[c]
+            diff = _barrel_rotate(acc_c, amt, interpret) - acc_c
+            for lev, d in enumerate(_decompose_digits(diff, b, l)):
+                dig_ref[:, (c * l + lev) * N:(c * l + lev + 1) * N] = \
+                    d.astype(jnp.int8)
+
+    limb = j // k1
+    comp = j % k1
+    prods = jax.lax.dot_general(
+        dig_ref[:], kern_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=I32)                       # [B, N]
+    out_ref[comp] += prods << (8 * (limb + drop))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def blind_rotate_fused(b_init: jnp.ndarray, a_t: jnp.ndarray,
+                       test_polys: jnp.ndarray, kernels: jnp.ndarray,
+                       params: TFHEParams,
+                       interpret: bool = False) -> jnp.ndarray:
+    """All-steps-fused blind rotation → accumulator [k+1, B, N] int32.
+
+    ``b_init``: [B, 1] int32 initial rotation amounts ((2N − b~) mod 2N);
+    ``a_t``: [n, B, 1] int32 per-step amounts in [0, 2N);
+    ``test_polys``: [B, N] int32; ``kernels``: [n, rows·N, L·(k+1)·N] int8
+    precomputed negacyclic key-matrix limbs (``prepare_fast_keys``,
+    orientation="matmul", limb-major output dim).
+    """
+    batch, N = test_polys.shape
+    k1 = params.glwe_dim + 1
+    n = a_t.shape[0]
+    rows_n = kernels.shape[1]
+    n_chunks = kernels.shape[2] // N
+    n_limbs = n_chunks // k1
+
+    return pl.pallas_call(
+        functools.partial(_kernel, params=params, n_limbs=n_limbs,
+                          interpret=interpret),
+        grid=(n, n_chunks),
+        in_specs=[
+            pl.BlockSpec((batch, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, N), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_n, N), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k1, batch, N), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k1, batch, N), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((batch, rows_n), jnp.int8),    # per-step digits
+        ],
+        interpret=interpret,
+    )(b_init, a_t, test_polys, kernels)
