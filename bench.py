@@ -26,7 +26,7 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--quick", action="store_true",
                     help="tiny params (CPU smoke test)")
-    ap.add_argument("--orientation", default="matmul",
+    ap.add_argument("--orientation", default="fused",
                     choices=["matmul", "fused", "keys_lhs", "keys_lhs_bf16",
                              "keys_rhs"])
     ap.add_argument("--bsk-limbs", type=int, default=4,

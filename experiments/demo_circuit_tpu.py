@@ -45,7 +45,7 @@ def main() -> int:
                         lwe_noise_std=2.0 ** 17, glwe_noise_std=2.0 ** 7)
     t0 = time.time()
     keys = generate_keys(params, seed=1)
-    fast = prepare_fast_keys(keys, orientation="matmul",
+    fast = prepare_fast_keys(keys, orientation="fused",
                              bsk_limbs=args.bsk_limbs)
     np.asarray(fast.bsk_kernels[:1, :1])  # force
     print(f"# keygen {time.time() - t0:.1f}s", file=sys.stderr)

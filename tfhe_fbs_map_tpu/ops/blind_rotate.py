@@ -4,10 +4,12 @@ The blind-rotate hot loop costs ``n · (k+1)² · l · N²`` MACs per ciphertext
 all the FLOPs of the framework.  Orientations, fastest first (measured
 numbers in PERF.md):
 
-* ``"matmul"`` (default, 1620 boots/s): precomputed negacyclic matrices of
-  every GGSW row poly as int8 limbs; the external product is ONE wide
-  s8×s8→s32 ``dot_general`` per step (the MXU-native integer path) and the
-  monomial rotation is a batched one-hot matmul.  HBM cost
+* ``"fused"`` (11.3k boots/s): same precomputed key matrices, but all n
+  CMux steps run inside ONE Pallas kernel with the accumulator resident
+  in VMEM (:mod:`tfhe_fbs_map_tpu.ops.fused_blind_rotate`).
+* ``"matmul"`` (1.5k boots/s): XLA-level scan; the external product is ONE
+  wide s8×s8→s32 ``dot_general`` per step (the MXU-native integer path) and
+  the monomial rotation is a batched one-hot matmul.  HBM cost for both:
   ``n·L·rows·N·(k+1)·N`` bytes; optional BSK limb-drop quantization.
 * ``"keys_lhs_bf16"`` / ``"keys_lhs"`` / ``"keys_rhs"``: convolution
   formulations (digit or key operand extended negacyclically to handle
@@ -129,22 +131,32 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
             return limbs.reshape(c, rows * N, bsk_limbs * k1 * N) \
                 .astype(jnp.int8)
 
-        # One jit + lax.map over chunks: a single device dispatch building
-        # the full buffer (looping host-side with dynamic_update_slice risks
-        # a full-buffer copy per chunk when donation is not honored).
+        # ONE jit builds straight into the final [n, rows·N, L·k1·N] buffer:
+        # a fori_loop whose carry is the output (XLA aliases the carry, so
+        # dynamic_update_slice is in-place).  Reshaping OUTSIDE the jit
+        # copies the full ~11.9 GB buffer and OOMs the chip; small chunks
+        # keep the per-iteration int32 transients to a few hundred MB.
         import numpy as _np
         chunk = 1
-        for c in (10, 8, 16, 7, 5, 9, 6, 4, 3, 2):
+        for c in (2, 3, 5, 7, 4, 6, 8, 9, 10, 16):
             if n % c == 0:
                 chunk = c
                 break
         bsk_r = keys.bsk.reshape(n // chunk, chunk, rows, k1, N)
+        out_shape = (n, rows * N, bsk_limbs * k1 * N)
 
         @jax.jit
         def build_all(b):
-            return jax.lax.map(build_chunk, b)
+            out = jnp.zeros(out_shape, jnp.int8)
 
-        kern = build_all(bsk_r).reshape(n, rows * N, bsk_limbs * k1 * N)
+            def body(idx, out):
+                mat = build_chunk(b[idx])            # [chunk, rows·N, D]
+                return jax.lax.dynamic_update_slice(
+                    out, mat, (idx * chunk, 0, 0))
+
+            return jax.lax.fori_loop(0, n // chunk, body, out)
+
+        kern = build_all(bsk_r)
         _np.asarray(kern[:1, :1, :1])  # real completion barrier
         kn_l = params.big_dim * params.ksk_level
         ksk_limbs = signed_limbs(

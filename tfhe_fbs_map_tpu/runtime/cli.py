@@ -39,6 +39,12 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--test-params", action="store_true",
                     help="use the small insecure test parameter set")
+    ap.add_argument("--orientation", default="auto",
+                    choices=["auto", "fused", "matmul", "keys_lhs",
+                             "keys_lhs_bf16", "keys_rhs", "generic"],
+                    help="bootstrap kernel path (auto: fused Pallas on TPU "
+                         "when the precomputed key matrices fit HBM, "
+                         "generic otherwise)")
     args = ap.parse_args(argv)
 
     from ..frontend.lut_program import parse_lbf
@@ -95,7 +101,28 @@ def main(argv=None) -> int:
     values = {name: rng.integers(0, 2, args.batch) for name in input_names}
     oracle = prog.eval(values)
 
-    ex = CircuitExecutor(prog, keys)
+    # --- fast-path selection --------------------------------------------
+    fast = None
+    if args.orientation != "generic":
+        import jax
+
+        from ..optimizer.optimizer import MATMUL_HBM_BUDGET
+        from ..ops.blind_rotate import prepare_fast_keys
+        pp = keys.params
+        k1 = pp.glwe_dim + 1
+        mat_bytes = (pp.lwe_dim * (k1 * pp.bsk_level * pp.poly_size)
+                     * 4 * k1 * pp.poly_size)
+        orient = args.orientation
+        if orient == "auto":
+            orient = ("fused" if jax.default_backend() == "tpu"
+                      and mat_bytes <= MATMUL_HBM_BUDGET else None)
+        if orient:
+            t0 = time.time()
+            fast = prepare_fast_keys(keys, orientation=orient)
+            print(f"# fast keys ({orient}): {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+
+    ex = CircuitExecutor(prog, keys, fast_keys=fast)
     t0 = time.time()
     buf = ex.encrypt_inputs(values, rng)
     enc_s = time.time() - t0
