@@ -27,8 +27,8 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true",
                     help="tiny params (CPU smoke test)")
     ap.add_argument("--orientation", default="fused",
-                    choices=["matmul", "fused", "keys_lhs", "keys_lhs_bf16",
-                             "keys_rhs"])
+                    choices=["matmul", "fused", "fused_otf", "keys_lhs",
+                             "keys_lhs_bf16", "keys_rhs"])
     ap.add_argument("--bsk-limbs", type=int, default=4,
                     help="key limbs kept (matmul path; 3 = quantized BSK)")
     args = ap.parse_args()
@@ -49,7 +49,7 @@ def main() -> int:
                             ksk_base_log=4, lwe_noise_std=4.0,
                             glwe_noise_std=4.0)
         args.batch = min(args.batch, 32)
-    elif args.orientation in ("matmul", "fused"):
+    elif args.orientation in ("matmul", "fused", "fused_otf"):
         # ~128-bit anchor tuned for the s8 matmul path: base 2^8 x 2 levels
         # keeps the precomputed key-matrix limbs at n*2*(rows*N)*(k+1)N =
         # ~11.9 GB in HBM.
@@ -69,7 +69,7 @@ def main() -> int:
     t0 = time.time()
     keys = generate_keys(params, seed=1)
     kw = ({"bsk_limbs": args.bsk_limbs}
-          if args.orientation in ("matmul", "fused") else {})
+          if args.orientation in ("matmul", "fused", "fused_otf") else {})
     fast = prepare_fast_keys(keys, orientation=args.orientation, **kw)
     _ = np.asarray(fast.bsk_kernels[:1, :1])  # real completion barrier
     keygen_s = time.time() - t0

@@ -25,7 +25,11 @@ def main() -> int:
                         ksk_base_log=3, lwe_noise_std=2.0,
                         glwe_noise_std=2.0)
     keys = generate_keys(params, seed=3)
-    fast = prepare_fast_keys(keys, orientation="fused")
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--orientation", default="fused")
+    args = ap.parse_args()
+    fast = prepare_fast_keys(keys, orientation=args.orientation)
     np.asarray(fast.bsk_kernels[:1, :1, :1])
     print("# keys ready", file=sys.stderr)
 

@@ -20,7 +20,7 @@ def keys():
 
 @pytest.fixture(scope="module",
                 params=["keys_rhs", "keys_lhs", "keys_lhs_bf16", "matmul",
-                        "fused"])
+                        "fused", "fused_otf"])
 def fast(request, keys):
     return prepare_fast_keys(keys, orientation=request.param)
 
@@ -32,7 +32,10 @@ def test_external_product_conv_matches_generic(keys, fast):
                         dtype=np.uint32).astype(np.int32)
     diff = jnp.asarray(diff)
     # "fused" shares the matmul key layout; its per-step product is
-    # exercised through the full bootstrap below
+    # exercised through the full bootstrap below.  "fused_otf" has no
+    # standalone external product (the key matrix exists only in VMEM).
+    if fast.orientation == "fused_otf":
+        pytest.skip("otf path covered by the full-bootstrap test")
     orientation = ("matmul" if fast.orientation == "fused"
                    else fast.orientation)
     for i in (0, 3, p.lwe_dim - 1):

@@ -80,7 +80,7 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
     dropped limb for a bounded extra noise term of std
     ``sqrt(rows·N·(B²/12)·(2^(8·drop))²/12)`` per blind-rotate step."""
     params = keys.params
-    if orientation not in ("matmul", "fused"):
+    if orientation not in ("matmul", "fused", "fused_otf"):
         assert params.bsk_base_log <= 7, (
             "conv fast path needs bootstrap digits that fit int8 after "
             f"negation (base_log {params.bsk_base_log} > 7)")
@@ -92,6 +92,29 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
     k1 = params.glwe_dim + 1
     rows = k1 * params.bsk_level
     N = params.poly_size
+
+    if orientation == "fused_otf":
+        # Compact key form for the on-the-fly fused kernel: per (step, row,
+        # limb λ, component c) the length-2N anti-periodic limb extension
+        # E = [limbs(−poly)_λ, limbs(poly)_λ].  Row j of the negacyclic
+        # matrix is the CYCLIC rotation roll(E, j)[N:2N] — the X^N = −1
+        # sign structure lives in E's data, so rotation in limb space is
+        # exact and the kernel rebuilds each [rows·N, N] chunk in VMEM by
+        # log2(N) roll-doubling stages.  HBM: n·L·(k+1)·rows·2N bytes
+        # (~46 MB at the bench anchor vs 11.9 GB precomputed).
+        drop = N_LIMBS - bsk_limbs
+        pos = signed_limbs(keys.bsk, N_LIMBS, LIMB_BITS)     # [n,r,k+1,N,L]
+        neg = signed_limbs(-keys.bsk, N_LIMBS, LIMB_BITS)
+        ext = jnp.concatenate([neg, pos], axis=-2)           # [n,r,k+1,2N,L]
+        ext = ext[..., drop:]
+        ext = jnp.transpose(ext, (0, 4, 2, 1, 3))            # [n,L,k+1,r,2N]
+        kern = ext.reshape(n, bsk_limbs * k1, rows, 2 * N).astype(jnp.int8)
+
+        kn_l = params.big_dim * params.ksk_level
+        ksk_limbs = signed_limbs(
+            keys.ksk.reshape(kn_l, params.lwe_dim + 1), N_LIMBS, LIMB_BITS)
+        ksk_limbs = jnp.moveaxis(ksk_limbs, -1, 0).astype(jnp.int8)
+        return FastKeys(params, kern, ksk_limbs, orientation)
 
     if orientation in ("matmul", "fused"):
         # Precomputed negacyclic matrices of every GGSW row poly, as int8
@@ -318,7 +341,7 @@ def _fbs_fast_impl(params: TFHEParams, orientation: str, bsk_kernels,
     a_t = _modswitch(small[:, :n], params)
     b_t = _modswitch(small[:, n], params)
 
-    if orientation == "fused":
+    if orientation in ("fused", "fused_otf"):
         # all n CMux steps in one Pallas kernel, accumulator VMEM-resident
         from .fused_blind_rotate import blind_rotate_fused
         b_init = ((2 * N - b_t) % (2 * N))[:, None]

@@ -90,11 +90,12 @@ def _decompose_digits(diff: jnp.ndarray, base_log: int,
     return digits[::-1]
 
 
-def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref, *,
-            params: TFHEParams, n_limbs: int, interpret: bool):
+def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref, *extra,
+            params: TFHEParams, n_limbs: int, interpret: bool, otf: bool):
     k1 = params.glwe_dim + 1
     l, b = params.bsk_level, params.bsk_base_log
     N = params.poly_size
+    rows = k1 * l
     drop = 4 - n_limbs
 
     i = pl.program_id(0)
@@ -116,10 +117,33 @@ def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref, *,
                 dig_ref[:, (c * l + lev) * N:(c * l + lev + 1) * N] = \
                     d.astype(jnp.int8)
 
+    if otf:
+        # build this chunk's [rows·N, N] negacyclic key matrix in VMEM from
+        # the [rows, 2N] anti-periodic limb extensions E: row j of the
+        # matrix is roll(E, j)[N:2N] (cyclic — the sign structure lives in
+        # E's data, so limb-space rotation stays exact).  log2(N) doubling
+        # stages of static rolls; int8 rolls along lanes run at packed
+        # VPU rate.
+        # (Mosaic has no int8 lane-rotate — "Rotate with non-32-bit data" —
+        # but two lane-slices + concat express the same cyclic roll.)
+        kmat_ref = extra[0]
+        for r in range(rows):
+            kmat_ref[r * N:r * N + 1, :] = kern_ref[0, 0, r:r + 1, :]
+            step = 1
+            while step < N:
+                src = kmat_ref[r * N:r * N + step, :]
+                rolled = jnp.concatenate(
+                    [src[:, 2 * N - step:], src[:, :2 * N - step]], axis=1)
+                kmat_ref[r * N + step:r * N + 2 * step, :] = rolled
+                step *= 2
+        kern_mat = kmat_ref[:, N:2 * N]
+    else:
+        kern_mat = kern_ref[0]
+
     limb = j // k1
     comp = j % k1
     prods = jax.lax.dot_general(
-        dig_ref[:], kern_ref[0],
+        dig_ref[:], kern_mat,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=I32)                       # [B, N]
     out_ref[comp] += prods << (8 * (limb + drop))
@@ -134,20 +158,36 @@ def blind_rotate_fused(b_init: jnp.ndarray, a_t: jnp.ndarray,
 
     ``b_init``: [B, 1] int32 initial rotation amounts ((2N − b~) mod 2N);
     ``a_t``: [n, B, 1] int32 per-step amounts in [0, 2N);
-    ``test_polys``: [B, N] int32; ``kernels``: [n, rows·N, L·(k+1)·N] int8
-    precomputed negacyclic key-matrix limbs (``prepare_fast_keys``,
-    orientation="matmul", limb-major output dim).
+    ``test_polys``: [B, N] int32; ``kernels``: either
+
+    * [n, rows·N, L·(k+1)·N] int8 — precomputed negacyclic key-matrix limbs
+      (``prepare_fast_keys`` orientation="fused"; limb-major output dim,
+      streamed HBM→VMEM one chunk per grid step), or
+    * [n, L·(k+1), rows, 2N] int8 — compact anti-periodic limb extensions
+      (orientation="fused_otf": ~N×/512× less HBM; each chunk's matrix is
+      rebuilt in VMEM by cyclic-roll doubling).
     """
     batch, N = test_polys.shape
     k1 = params.glwe_dim + 1
+    l = params.bsk_level
     n = a_t.shape[0]
-    rows_n = kernels.shape[1]
-    n_chunks = kernels.shape[2] // N
+    rows_n = k1 * l * N
+    otf = kernels.ndim == 4
+    n_chunks = kernels.shape[1] if otf else kernels.shape[2] // N
     n_limbs = n_chunks // k1
+
+    kern_spec = (pl.BlockSpec((1, 1, k1 * l, 2 * N),
+                              lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM) if otf else
+                 pl.BlockSpec((1, rows_n, N), lambda i, j: (i, 0, j),
+                              memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM((batch, rows_n), jnp.int8)]   # per-step digits
+    if otf:
+        scratch.append(pltpu.VMEM((rows_n, 2 * N), jnp.int8))
 
     return pl.pallas_call(
         functools.partial(_kernel, params=params, n_limbs=n_limbs,
-                          interpret=interpret),
+                          interpret=interpret, otf=otf),
         grid=(n, n_chunks),
         in_specs=[
             pl.BlockSpec((batch, 1), lambda i, j: (0, 0),
@@ -156,14 +196,11 @@ def blind_rotate_fused(b_init: jnp.ndarray, a_t: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((batch, N), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_n, N), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
+            kern_spec,
         ],
         out_specs=pl.BlockSpec((k1, batch, N), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k1, batch, N), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((batch, rows_n), jnp.int8),    # per-step digits
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(b_init, a_t, test_polys, kernels)
