@@ -61,16 +61,20 @@ double p_error_atomic(int p, double sq_norm2, int n, int k, int N, int br_l,
   return std::erfc(margin / (sigma * std::sqrt(2.0)));
 }
 
-// TPU v5e-class roofline (mirror of optimizer.py)
+// TPU v5e-class roofline (mirror of optimizer.py): fused Pallas kernel,
+// streamed precomputed key matrices vs on-the-fly in-VMEM rebuild.
 constexpr double MXU_INT8_OPS = 394e12;
 constexpr double HBM_BYTES = 820e9;
-constexpr double MXU_EFFICIENCY = 0.10;
+constexpr double MXU_EFF_FUSED = 0.65;
+constexpr double MXU_EFF_OTF = 0.45;
 constexpr double MATMUL_HBM_BUDGET = 12e9;
 
 double bootstrap_cost_us(int n, int k, int N, int br_l, int ks_l) {
+  double mat_bytes = double(n) * 4.0 * (k + 1) * br_l * N * (k + 1) * N;
+  double eff = mat_bytes <= MATMUL_HBM_BUDGET ? MXU_EFF_FUSED : MXU_EFF_OTF;
   double br_macs = double(n) * (k + 1) * (k + 1) * br_l * N * N * 4.0;
   double ks_macs = double(k) * N * ks_l * (n + 1) * 4.0;
-  double compute_s = 2.0 * (br_macs + ks_macs) / (MXU_INT8_OPS * MXU_EFFICIENCY);
+  double compute_s = 2.0 * (br_macs + ks_macs) / (MXU_INT8_OPS * eff);
   double acc_bytes = double(n) * 3.0 * (k + 1) * N * 4.0;
   double mem_s = acc_bytes / HBM_BYTES;
   return (compute_s > mem_s ? compute_s : mem_s) * 1e6;
@@ -94,7 +98,8 @@ int32_t optimize_params(int32_t p, double sq_norm2, double max_p_error,
   static const int glwe_shapes[][2] = {{1, 1024}, {2, 512},  {1, 2048},
                                        {2, 1024}, {3, 512},  {4, 512},
                                        {2, 2048}, {1, 4096}};
-  const int max_base = 8;
+  // int8 digits (fast path) need base <= 2^8; generic fallback goes wider
+  const int max_base = fast_path_only ? 8 : 12;
   bool found = false;
   double best_cost = 1e300;
 
@@ -110,11 +115,6 @@ int32_t optimize_params(int32_t p, double sq_norm2, double max_p_error,
           for (int ks_b = 2; ks_b <= max_base; ++ks_b) {
             for (int ks_l = 1; ks_l <= 8; ++ks_l) {
               if (ks_b * ks_l > 32) continue;
-              if (fast_path_only) {
-                double rows = double(k + 1) * br_l;
-                double mat_bytes = double(n) * 4.0 * rows * N * (k + 1) * N;
-                if (mat_bytes > MATMUL_HBM_BUDGET) continue;
-              }
               double cost = bootstrap_cost_us(n, k, N, br_l, ks_l);
               if (found && cost >= best_cost) continue;
               double perr = p_error_atomic(p, sq_norm2, n, k, N, br_l, br_b,

@@ -31,17 +31,15 @@ def test_external_product_conv_matches_generic(keys, fast):
     diff = rng.integers(0, 1 << 32, (5, p.glwe_dim + 1, p.poly_size),
                         dtype=np.uint32).astype(np.int32)
     diff = jnp.asarray(diff)
-    # "fused" shares the matmul key layout; its per-step product is
-    # exercised through the full bootstrap below.  "fused_otf" has no
-    # standalone external product (the key matrix exists only in VMEM).
-    if fast.orientation == "fused_otf":
-        pytest.skip("otf path covered by the full-bootstrap test")
-    orientation = ("matmul" if fast.orientation == "fused"
-                   else fast.orientation)
+    # the fused orientations have no standalone external product (comp-major
+    # chunk layout / VMEM-only key matrices); they are exercised end-to-end
+    # through the full bootstrap test below
+    if fast.orientation in ("fused", "fused_otf"):
+        pytest.skip("fused paths covered by the full-bootstrap test")
     for i in (0, 3, p.lwe_dim - 1):
         want = external_product(diff, keys.bsk[i], p)
         got = external_product_conv(diff, fast.bsk_kernels[i], p,
-                                    orientation)
+                                    fast.orientation)
         assert np.array_equal(np.asarray(want).astype(np.uint32),
                               np.asarray(got).astype(np.uint32)), i
 

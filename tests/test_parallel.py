@@ -22,20 +22,27 @@ def test_dryrun_multichip_entrypoints():
     g.dryrun_multichip(8)
 
 
-def test_sharded_bootstrap_matches_single_device():
+@pytest.mark.parametrize("orientation,dp,tp", [("matmul", 4, 2),
+                                               ("fused", 8, 1),
+                                               ("fused_otf", 4, 2)])
+def test_sharded_bootstrap_matches_single_device(orientation, dp, tp):
     import jax
-    import jax.numpy as jnp
 
     import __graft_entry__ as g
-    from tfhe_fbs_map_tpu.ops.blind_rotate import functional_bootstrap_fast
+    from tfhe_fbs_map_tpu.ops.blind_rotate import (functional_bootstrap_fast,
+                                                   prepare_fast_keys)
     from tfhe_fbs_map_tpu.parallel.mesh import (make_mesh, shard_batch,
                                                 shard_fast_keys,
                                                 sharded_bootstrap)
 
     params, fast, cts, tvs, posts = g._tiny_setup(seed=5)
+    if orientation != fast.orientation:
+        from tfhe_fbs_map_tpu.tfhe import generate_keys
+        keys = generate_keys(params, seed=5)
+        fast = prepare_fast_keys(keys, orientation=orientation)
     want = np.asarray(functional_bootstrap_fast(fast, cts, tvs, posts))
 
-    mesh = make_mesh(jax.devices(), dp=4, tp=2)
+    mesh = make_mesh(jax.devices(), dp=dp, tp=tp)
     fast_s = shard_fast_keys(mesh, fast)
     fn = sharded_bootstrap(mesh, fast_s)
     got = np.asarray(fn(shard_batch(mesh, cts), shard_batch(mesh, tvs),

@@ -32,9 +32,13 @@ __all__ = ["Solution", "optimize", "bootstrap_cost_us"]
 # TPU v5e-class roofline constants (per chip)
 MXU_INT8_OPS = 394e12          # ops/s (2 ops per MAC)
 HBM_BYTES = 820e9              # bytes/s
-MXU_EFFICIENCY = 0.10          # measured on the s8 matmul path (v5e, r1)
+# measured MXU utilizations of the fused Pallas blind-rotate kernel (r1,
+# v5e, batch 512): streamed precomputed key matrices vs on-the-fly
+# in-VMEM rebuild (ops/fused_blind_rotate.py, PERF.md)
+MXU_EFF_FUSED = 0.65
+MXU_EFF_OTF = 0.45
 MATMUL_HBM_BUDGET = 12e9       # precomputed key-matrix budget (bytes)
-GENERIC_PATH_SLOWDOWN = 20.0   # measured generic-vs-matmul path ratio (r1)
+GENERIC_PATH_SLOWDOWN = 140.0  # measured generic-vs-fused ratio (r1)
 
 
 @dataclass(frozen=True)
@@ -45,12 +49,19 @@ class Solution:
 
 
 def bootstrap_cost_us(n: int, k: int, N: int, br_l: int, ks_l: int) -> float:
-    """Roofline model: µs per bootstrap at large batch."""
+    """Roofline model: µs per bootstrap at large batch.
+
+    Key matrices that fit the HBM budget stream from HBM (orientation
+    "fused"); larger sets rebuild negacyclic tiles in VMEM (orientation
+    "fused_otf") at a lower measured MXU utilization.
+    """
+    mat_bytes = n * 4.0 * (k + 1) * br_l * N * (k + 1) * N
+    eff = MXU_EFF_FUSED if mat_bytes <= MATMUL_HBM_BUDGET else MXU_EFF_OTF
     # blind rotate: n conv steps of rows x N x (k+1) x N MACs x 4 limbs
     br_macs = n * (k + 1) ** 2 * br_l * N * N * 4
     # keyswitch: kN*l x (n+1) matmul x 4 limbs
     ks_macs = k * N * ks_l * (n + 1) * 4
-    compute_s = 2.0 * (br_macs + ks_macs) / (MXU_INT8_OPS * MXU_EFFICIENCY)
+    compute_s = 2.0 * (br_macs + ks_macs) / (MXU_INT8_OPS * eff)
     # per-ct HBM traffic: ACC read+write+rotate per step (batch >> 1 keeps
     # key streaming amortized)
     acc_bytes = n * 3 * (k + 1) * N * 4
@@ -64,10 +75,10 @@ def optimize(p: int, sq_norm2: float,
              security_bits: int = 128) -> Solution | None:
     """Grid-search the cheapest parameter set meeting the error target.
 
-    ``fast_path_only=True`` means *prefer* the s8-matmul fast path (HBM
-    budget permitting); when no candidate fits, the search reruns without
-    the memory constraint and costs are scaled by the measured
-    generic-path slowdown.
+    ``fast_path_only=True`` restricts to the fused Pallas fast path
+    (gadget base ≤ 2^8 so digits fit int8); the on-the-fly key form
+    removes the old HBM-budget constraint, so the generic fallback only
+    triggers for parameter regimes outside the int8-digit envelope.
     """
     best = _optimize_inner(p, sq_norm2, max_p_error, True)
     if best is None:
@@ -85,7 +96,9 @@ def _optimize_inner(p: int, sq_norm2: float, max_p_error: float,
 
     glwe_shapes = [(1, 1024), (2, 512), (1, 2048), (2, 1024), (3, 512),
                    (4, 512), (2, 2048), (1, 4096)]
-    max_base = 8
+    # int8 digits (the MXU fast path) need base ≤ 2^8; the generic
+    # gather-based fallback can use wider digits
+    max_base = 8 if fast_path_only else 12
 
     for k, N in glwe_shapes:
         if N < 2 * p:        # need at least one poly coeff per half-window
@@ -101,11 +114,6 @@ def _optimize_inner(p: int, sq_norm2: float, max_p_error: float,
                         for ks_l in range(1, 9):
                             if ks_b * ks_l > 32:
                                 continue
-                            if fast_path_only:
-                                rows = (k + 1) * br_l
-                                mat_bytes = n * 4 * rows * N * (k + 1) * N
-                                if mat_bytes > MATMUL_HBM_BUDGET:
-                                    continue
                             cost = bootstrap_cost_us(n, k, N, br_l, ks_l)
                             if best is not None and cost >= best.cost:
                                 continue

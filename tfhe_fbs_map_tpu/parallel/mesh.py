@@ -51,7 +51,11 @@ def shard_fast_keys(mesh: Mesh, fast):
     * matmul-orientation bootstrap kernels ([n, L, rows·N, (k+1)N]): the
       contraction dimension rows·N is sharded over tp — each chip holds a
       slice of every negacyclic key matrix and the external product's
-      partial sums meet in an ICI psum.  Other orientations replicate.
+      partial sums meet in an ICI psum.
+    * fused orientations: the Pallas kernel is dp-only (the blind-rotate
+      loop is sequential per shard, batch is the parallel axis), so key
+      material replicates; the key-switch limbs stay tp-sharded (the
+      keyswitch matmul runs in XLA outside the kernel).
     """
     from ..ops.blind_rotate import FastKeys
     if fast.orientation == "matmul":
@@ -64,13 +68,39 @@ def shard_fast_keys(mesh: Mesh, fast):
 
 
 def sharded_bootstrap(mesh: Mesh, fast):
-    """jitted batched FBS with dp-sharded inputs/outputs on ``mesh``."""
+    """jitted batched FBS with dp-sharded inputs/outputs on ``mesh``.
+
+    The XLA orientations partition through GSPMD; the fused Pallas
+    orientations go through ``shard_map`` (a pallas_call is opaque to the
+    partitioner), each dp shard running the kernel on its batch slice with
+    replicated keys.
+    """
     from ..ops.blind_rotate import _fbs_fast_impl
     params = fast.params
 
     def fn(big_cts, tvs, posts):
         return _fbs_fast_impl(params, fast.orientation, fast.bsk_kernels,
                               fast.ksk_limbs, big_cts, tvs, posts)
+
+    if fast.orientation in ("fused", "fused_otf"):
+        from jax.experimental.shard_map import shard_map
+
+        def fn_keys(bsk, ksk, big_cts, tvs, posts):
+            return _fbs_fast_impl(params, fast.orientation, bsk, ksk,
+                                  big_cts, tvs, posts)
+
+        # keys fully replicated per shard: the keyswitch is per-ciphertext
+        # work on the local batch slice (shard_map is manual — a tp-sharded
+        # ksk would need explicit digit slicing + psum, which only pays off
+        # under GSPMD on the XLA orientations)
+        mapped = shard_map(
+            fn_keys, mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp")),
+            out_specs=P("dp"), check_rep=False)
+
+        def fn(big_cts, tvs, posts):
+            return mapped(fast.bsk_kernels, fast.ksk_limbs,
+                          big_cts, tvs, posts)
 
     in_shard = NamedSharding(mesh, P("dp"))
     out_shard = NamedSharding(mesh, P("dp"))

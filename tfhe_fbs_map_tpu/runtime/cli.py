@@ -40,11 +40,12 @@ def main(argv=None) -> int:
     ap.add_argument("--test-params", action="store_true",
                     help="use the small insecure test parameter set")
     ap.add_argument("--orientation", default="auto",
-                    choices=["auto", "fused", "matmul", "keys_lhs",
-                             "keys_lhs_bf16", "keys_rhs", "generic"],
+                    choices=["auto", "fused", "fused_otf", "matmul",
+                             "keys_lhs", "keys_lhs_bf16", "keys_rhs",
+                             "generic"],
                     help="bootstrap kernel path (auto: fused Pallas on TPU "
-                         "when the precomputed key matrices fit HBM, "
-                         "generic otherwise)")
+                         "— streamed key matrices when they fit HBM, "
+                         "on-the-fly tiles otherwise; generic on CPU)")
     args = ap.parse_args(argv)
 
     from ..frontend.lut_program import parse_lbf
@@ -114,8 +115,12 @@ def main(argv=None) -> int:
                      * 4 * k1 * pp.poly_size)
         orient = args.orientation
         if orient == "auto":
-            orient = ("fused" if jax.default_backend() == "tpu"
-                      and mat_bytes <= MATMUL_HBM_BUDGET else None)
+            if jax.default_backend() != "tpu" or pp.bsk_base_log > 8:
+                orient = None
+            elif mat_bytes <= MATMUL_HBM_BUDGET:
+                orient = "fused"
+            else:
+                orient = "fused_otf"
         if orient:
             t0 = time.time()
             fast = prepare_fast_keys(keys, orientation=orient)
