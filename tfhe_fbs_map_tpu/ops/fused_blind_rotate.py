@@ -117,36 +117,56 @@ def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref, *extra,
                 dig_ref[:, (c * l + lev) * N:(c * l + lev + 1) * N] = \
                     d.astype(jnp.int8)
 
-    if otf:
-        # build this chunk's [rows·N, N] negacyclic key matrix in VMEM from
-        # the [rows, 2N] anti-periodic limb extensions E: row j of the
-        # matrix is roll(E, j)[N:2N] (cyclic — the sign structure lives in
-        # E's data, so limb-space rotation stays exact).  log2(N) doubling
-        # stages of static rolls; int8 rolls along lanes run at packed
-        # VPU rate.
-        # (Mosaic has no int8 lane-rotate — "Rotate with non-32-bit data" —
-        # but two lane-slices + concat express the same cyclic roll.)
-        kmat_ref = extra[0]
-        for r in range(rows):
-            kmat_ref[r * N:r * N + 1, :] = kern_ref[0, 0, r:r + 1, :]
-            step = 1
-            while step < N:
-                src = kmat_ref[r * N:r * N + step, :]
-                rolled = jnp.concatenate(
-                    [src[:, 2 * N - step:], src[:, :2 * N - step]], axis=1)
-                kmat_ref[r * N + step:r * N + 2 * step, :] = rolled
-                step *= 2
-        kern_mat = kmat_ref[:, N:2 * N]
-    else:
-        kern_mat = kern_ref[0]
-
     limb = j // k1
     comp = j % k1
-    prods = jax.lax.dot_general(
-        dig_ref[:], kern_mat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=I32)                       # [B, N]
+
+    if otf:
+        # Build this chunk's negacyclic key matrix in VMEM from the
+        # [rows, 2N] anti-periodic limb extensions E: row j of the matrix
+        # is roll(E, j)[N:2N] (cyclic — the X^N = −1 sign structure lives
+        # in E's data, so limb-space rotation stays exact).  log2(N)
+        # doubling stages of static rolls; built ONE GGSW row at a time
+        # ([N, 2N] scratch, so VMEM stays bounded at any N) with a partial
+        # MXU dot per row.  (Mosaic has no int8 lane-rotate — "Rotate with
+        # non-32-bit data" — but two lane-slices + concat express the same
+        # cyclic roll.)
+        kmat_ref = extra[0]
+        prods = jnp.zeros((dig_ref.shape[0], N), dtype=I32)
+        for r in range(rows):
+            kmat_ref[0:1, :] = kern_ref[0, 0, r:r + 1, :]
+            step = 1
+            while step < N:
+                src = kmat_ref[0:step, :]
+                rolled = jnp.concatenate(
+                    [src[:, 2 * N - step:], src[:, :2 * N - step]], axis=1)
+                kmat_ref[step:2 * step, :] = rolled
+                step *= 2
+            prods = prods + jax.lax.dot_general(
+                dig_ref[:, r * N:(r + 1) * N], kmat_ref[:, N:2 * N],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=I32)               # [B, N]
+    else:
+        prods = jax.lax.dot_general(
+            dig_ref[:], kern_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=I32)                   # [B, N]
+
     out_ref[comp] += prods << (8 * (limb + drop))
+
+
+VMEM_BUDGET = 13e6             # usable bytes out of the 16 MB/core
+
+
+def _max_batch(params: TFHEParams, otf: bool) -> int:
+    """Largest batch tile whose kernel working set fits VMEM."""
+    k1 = params.glwe_dim + 1
+    N = params.poly_size
+    rows_n = k1 * params.bsk_level * N
+    fixed = N * 2 * N if otf else 2 * rows_n * N   # kmat / dbl-buffered kern
+    # out + tv (int32) + digits (int8) + ~3 live barrel temps (int32)
+    per_b = k1 * N * 4 + N * 4 + rows_n + 12 * N
+    b = int((VMEM_BUDGET - fixed) // per_b)
+    return max(8, (b // 8) * 8)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -166,7 +186,41 @@ def blind_rotate_fused(b_init: jnp.ndarray, a_t: jnp.ndarray,
     * [n, L·(k+1), rows, 2N] int8 — compact anti-periodic limb extensions
       (orientation="fused_otf": ~N×/512× less HBM; each chunk's matrix is
       rebuilt in VMEM by cyclic-roll doubling).
+
+    Batches larger than the VMEM envelope are processed in slices via
+    ``lax.map`` (one sequential kernel launch per slice).
     """
+    batch, N = test_polys.shape
+    otf_ = kernels.ndim == 4
+    max_b = _max_batch(params, otf_)
+    if batch > max_b and not interpret:
+        pad = (-batch) % max_b
+        s = (batch + pad) // max_b
+
+        def pad_to(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0) \
+                if pad else x
+
+        b_s = pad_to(b_init).reshape(s, max_b, 1)
+        tv_s = pad_to(test_polys).reshape(s, max_b, N)
+        a_s = jnp.moveaxis(pad_to(jnp.moveaxis(a_t, 1, 0)), 0, 1) \
+            .reshape(a_t.shape[0], s, max_b, 1)
+        a_s = jnp.moveaxis(a_s, 1, 0)                     # [s, n, max_b, 1]
+
+        out = jax.lax.map(
+            lambda xs: _blind_rotate_call(xs[0], xs[1], xs[2], kernels,
+                                          params, interpret),
+            (b_s, a_s, tv_s))                             # [s, k+1, max_b, N]
+        out = jnp.moveaxis(out, 1, 0).reshape(
+            params.glwe_dim + 1, s * max_b, N)
+        return out[:, :batch]
+    return _blind_rotate_call(b_init, a_t, test_polys, kernels, params,
+                              interpret)
+
+
+def _blind_rotate_call(b_init, a_t, test_polys, kernels,
+                       params: TFHEParams, interpret: bool) -> jnp.ndarray:
     batch, N = test_polys.shape
     k1 = params.glwe_dim + 1
     l = params.bsk_level
@@ -183,7 +237,7 @@ def blind_rotate_fused(b_init: jnp.ndarray, a_t: jnp.ndarray,
                               memory_space=pltpu.VMEM))
     scratch = [pltpu.VMEM((batch, rows_n), jnp.int8)]   # per-step digits
     if otf:
-        scratch.append(pltpu.VMEM((rows_n, 2 * N), jnp.int8))
+        scratch.append(pltpu.VMEM((N, 2 * N), jnp.int8))  # one-row rebuild
 
     return pl.pallas_call(
         functools.partial(_kernel, params=params, n_limbs=n_limbs,
