@@ -131,18 +131,20 @@ def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref, *extra,
         # non-32-bit data" — but two lane-slices + concat express the same
         # cyclic roll.)
         kmat_ref = extra[0]
+        n_buf = kmat_ref.shape[0]   # 2 = ping-pong (build r+1 ∥ dot r)
         prods = jnp.zeros((dig_ref.shape[0], N), dtype=I32)
         for r in range(rows):
-            kmat_ref[0:1, :] = kern_ref[0, 0, r:r + 1, :]
+            buf = r % n_buf
+            kmat_ref[buf, 0:1, :] = kern_ref[0, 0, r:r + 1, :]
             step = 1
             while step < N:
-                src = kmat_ref[0:step, :]
+                src = kmat_ref[buf, 0:step, :]
                 rolled = jnp.concatenate(
                     [src[:, 2 * N - step:], src[:, :2 * N - step]], axis=1)
-                kmat_ref[step:2 * step, :] = rolled
+                kmat_ref[buf, step:2 * step, :] = rolled
                 step *= 2
             prods = prods + jax.lax.dot_general(
-                dig_ref[:, r * N:(r + 1) * N], kmat_ref[:, N:2 * N],
+                dig_ref[:, r * N:(r + 1) * N], kmat_ref[buf, :, N:2 * N],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=I32)               # [B, N]
     else:
@@ -162,7 +164,10 @@ def _max_batch(params: TFHEParams, otf: bool) -> int:
     k1 = params.glwe_dim + 1
     N = params.poly_size
     rows_n = k1 * params.bsk_level * N
-    fixed = N * 2 * N if otf else 2 * rows_n * N   # kmat / dbl-buffered kern
+    if otf:
+        fixed = (2 if 2 * N * 2 * N <= 4e6 else 1) * N * 2 * N  # kmat bufs
+    else:
+        fixed = 2 * rows_n * N                     # dbl-buffered kern chunk
     # out + tv (int32) + digits (int8) + ~3 live barrel temps (int32)
     per_b = k1 * N * 4 + N * 4 + rows_n + 12 * N
     b = int((VMEM_BUDGET - fixed) // per_b)
@@ -237,7 +242,10 @@ def _blind_rotate_call(b_init, a_t, test_polys, kernels,
                               memory_space=pltpu.VMEM))
     scratch = [pltpu.VMEM((batch, rows_n), jnp.int8)]   # per-step digits
     if otf:
-        scratch.append(pltpu.VMEM((N, 2 * N), jnp.int8))  # one-row rebuild
+        # per-row rebuild buffers; double-buffered when VMEM allows so the
+        # build of row r+1 is not WAR-blocked on the dot reading row r
+        n_buf = 2 if 2 * N * 2 * N <= 4e6 else 1
+        scratch.append(pltpu.VMEM((n_buf, N, 2 * N), jnp.int8))
 
     return pl.pallas_call(
         functools.partial(_kernel, params=params, n_limbs=n_limbs,
