@@ -55,12 +55,17 @@ def main() -> int:
     want = circ.eval(values)
 
     ex = CircuitExecutor(prog, keys, fast_keys=fast)
-    buf = ex.encrypt_inputs(values, rng)
+    buf0 = ex.encrypt_inputs(values, rng)
     t0 = time.time()
-    buf = ex.run(buf)
+    buf = ex.run(buf0)
     np.asarray(buf[:1, :1, -1:])  # force completion
-    run_s = time.time() - t0
+    cold_s = time.time() - t0     # includes per-level-shape compiles
     got = ex.decrypt_outputs(buf)
+
+    t0 = time.time()
+    buf = ex.run(buf0)
+    np.asarray(buf[:1, :1, -1:])
+    run_s = time.time() - t0      # steady state (compile cache warm)
 
     errors = sum(1 for k in want if not np.all(np.asarray(want[k]) == got[k]))
     total_boots = ex.num_bootstraps * args.batch
@@ -70,6 +75,7 @@ def main() -> int:
         "levels": len(ex.levels),
         "bootstraps_per_eval": ex.num_bootstraps,
         "batch": args.batch,
+        "cold_run_s": round(cold_s, 3),
         "run_s": round(run_s, 3),
         "ms_per_circuit_eval": round(1000 * run_s / args.batch, 3),
         "boots_per_sec": round(total_boots / run_s, 1),

@@ -166,13 +166,21 @@ class CircuitExecutor:
     # ---------------------------------------------------------------- run
     def encrypt_inputs(self, values: dict[str, np.ndarray],
                        rng: np.random.Generator) -> jnp.ndarray:
-        """Build the initial wire buffer [num_wires, V, kN+1]."""
+        """Build the initial wire buffer [num_wires, V, kN+1].
+
+        All inputs are encrypted in ONE batched device call — per-input
+        round trips over the tunneled backend cost seconds each.
+        """
         v = len(next(iter(values.values()))) if values else 1
         d = self.params.big_dim + 1
         buf = np.zeros((self.num_wires, v, d), dtype=np.int32)
-        for name, row in self.input_rows.items():
-            cts = encrypt_values(self.keys, np.asarray(values[name]), rng)
-            buf[row] = np.asarray(cts)
+        names = list(self.input_rows)
+        if names:
+            flat = np.concatenate([np.asarray(values[n]) for n in names])
+            cts = np.asarray(encrypt_values(self.keys, flat, rng))
+            cts = cts.reshape(len(names), v, d)
+            for idx, name in enumerate(names):
+                buf[self.input_rows[name]] = cts[idx]
         return jnp.asarray(buf)
 
     def run(self, buf: jnp.ndarray) -> jnp.ndarray:
@@ -188,22 +196,36 @@ class CircuitExecutor:
         return buf
 
     def decrypt_outputs(self, buf: jnp.ndarray) -> dict[str, np.ndarray]:
+        """ONE batched gather+lincomb+phase device call for all outputs
+        (per-output round trips over the tunneled backend cost seconds)."""
         params = self.params
         key = self.keys.extracted_key
         out: dict[str, np.ndarray] = {}
         v = buf.shape[1]
+        names = [n for n, s in self.outputs.items() if s.kind != "const"]
         for name, spec in self.outputs.items():
             if spec.kind == "const":
                 out[name] = np.full(v, spec.const, dtype=np.int64)
-                continue
-            cts = buf[jnp.asarray(spec.wire_idx)]          # [T, V, d]
-            lin = jnp.einsum("t,tvd->vd", jnp.asarray(spec.coefs), cts,
-                             preferred_element_type=I32)
-            lin = lin.at[:, -1].add(
-                jnp.asarray(np.int64(spec.const * params.delta)
-                            .astype(np.uint32).astype(np.int32)))
-            phases = np.asarray(lwe_phase(key, lin))
-            out[name] = decode(phases, params)
+        if not names:
+            return out
+        t_max = max(1, max(len(self.outputs[n].wire_idx) for n in names))
+        idx = np.full((len(names), t_max), self.dummy_row, dtype=np.int32)
+        cfs = np.zeros((len(names), t_max), dtype=np.int32)
+        consts = np.zeros(len(names), dtype=np.int32)
+        for o, name in enumerate(names):
+            spec = self.outputs[name]
+            idx[o, :len(spec.wire_idx)] = spec.wire_idx
+            cfs[o, :len(spec.coefs)] = spec.coefs
+            consts[o] = np.int64(spec.const * params.delta) \
+                .astype(np.uint32).astype(np.int32)
+        cts = buf[jnp.asarray(idx)]                        # [O, T, V, d]
+        lin = jnp.einsum("ot,otvd->ovd", jnp.asarray(cfs), cts,
+                         preferred_element_type=I32)
+        lin = lin.at[:, :, -1].add(jnp.asarray(consts)[:, None])
+        phases = np.asarray(lwe_phase(key, lin.reshape(-1, lin.shape[-1])))
+        decoded = decode(phases, params).reshape(len(names), v)
+        for o, name in enumerate(names):
+            out[name] = decoded[o]
         return out
 
     def run_cleartext(self, values: dict[str, np.ndarray],
