@@ -31,6 +31,8 @@ def main() -> int:
                              "keys_lhs_bf16", "keys_rhs"])
     ap.add_argument("--bsk-limbs", type=int, default=4,
                     help="key limbs kept (matmul path; 3 = quantized BSK)")
+    ap.add_argument("--trace", metavar="LOGDIR", default=None,
+                    help="capture a JAX profiler trace of the timed loop")
     args = ap.parse_args()
 
     import jax
@@ -98,12 +100,18 @@ def main() -> int:
         print(f"CORRECTNESS FAILURE: {n_bad}/{args.batch} wrong",
               file=sys.stderr)
 
+    import contextlib
+
+    from tfhe_fbs_map_tpu.utils.profiling import jax_trace
+    trace_cm = jax_trace(args.trace) if args.trace \
+        else contextlib.nullcontext()
     t0 = time.time()
-    for _ in range(args.iters):
-        out = functional_bootstrap_fast(fast, out, tvs, posts)
-    # force completion with a host readback: block_until_ready is not
-    # reliable on the tunneled axon backend
-    _ = np.asarray(out[:1, -1:])
+    with trace_cm:
+        for _ in range(args.iters):
+            out = functional_bootstrap_fast(fast, out, tvs, posts)
+        # force completion with a host readback: block_until_ready is not
+        # reliable on the tunneled axon backend
+        _ = np.asarray(out[:1, -1:])
     elapsed = time.time() - t0
 
     boots_per_sec = args.batch * args.iters / elapsed

@@ -198,7 +198,7 @@ def blind_rotate_fused(b_init: jnp.ndarray, a_t: jnp.ndarray,
     batch, N = test_polys.shape
     otf_ = kernels.ndim == 4
     max_b = _max_batch(params, otf_)
-    if batch > max_b and not interpret:
+    if batch > max_b:
         pad = (-batch) % max_b
         s = (batch + pad) // max_b
 
