@@ -66,12 +66,40 @@ class LutNode:
 
 
 class LutProgram:
-    def __init__(self, merge_linear_prods: bool = True):
+    def __init__(self, merge_linear_prods: bool = True,
+                 fbs_size: int | None = None):
         self.nodes: list[LutNode] = []          # topological order
         self.outputs: dict[str, LutNode] = {}
+        # FBS size p the mapper targeted.  Needed to re-execute the program:
+        # a table of length tau in (p, 2p] relies on the negacyclic identity
+        # AT THAT p (``table[x] + table[x+p]`` constant) — it is not
+        # recoverable from the table length alone.
+        self.fbs_size = fbs_size
         self._merge_linear_prods = merge_linear_prods
         self._cse: dict[tuple, LutNode] = {}
         self._auto_id = 0
+
+    def min_fbs_size(self) -> int:
+        """Smallest p at which every bootstrap table is realizable
+        (direct lookup for tau <= p, or one of the negacyclic half-table
+        modes for p < tau <= 2p — reference ``map_to_fbs.py:81-98``)."""
+        tabs = [n.table for n in self.nodes if n.kind == N_BOOT]
+        max_tau = max((len(t) for t in tabs), default=2)
+
+        def ok(table, p):
+            tau = len(table)
+            if tau <= p:
+                return True
+            if tau > 2 * p:
+                return False
+            c = table[0] + table[p]
+            return all(table[x] + table[x + p] == c
+                       for x in range(tau - p))
+
+        for p in range((max_tau + 1) // 2, max_tau + 1):
+            if all(ok(t, p) for t in tabs):
+                return max(2, p)
+        return max(2, max_tau)
 
     # ------------------------------------------------------------------ build
     def _intern(self, key: tuple, make) -> LutNode:
@@ -219,6 +247,10 @@ class LutProgram:
         per node, and one identity ``.lincomb`` per output."""
         input_names = [n.name for n in self.nodes if n.kind == N_INPUT]
 
+        if self.fbs_size is not None:
+            # superset stanza over the reference format: the mapper's FBS
+            # size, required to re-execute negacyclic half-tables
+            print(f".fbs_size {self.fbs_size}", file=os)
         line = f".inputs {' '.join(input_names)}"
         print(" \\\n ".join(textwrap.wrap(line)), file=os)
         line = f".outputs {' '.join(map(str, self.outputs.keys()))}"
@@ -261,7 +293,10 @@ def parse_lbf(text: str) -> LutProgram:
     i = 0
     while i < len(lines):
         parts = lines[i].split()
-        if parts[0] == ".inputs":
+        if parts[0] == ".fbs_size":
+            prog.fbs_size = int(parts[1])
+            i += 1
+        elif parts[0] == ".inputs":
             for name in parts[1:]:
                 wires[name] = prog.input(name)
             i += 1

@@ -22,7 +22,7 @@ __all__ = ["BasicMapper"]
 
 class BasicMapper:
     def map(self, circuit: BitCircuit) -> LutProgram:
-        prog = LutProgram()
+        prog = LutProgram(fbs_size=2)
         wires = {"0": prog.const(0), "1": prog.const(1)}
 
         for node in circuit.nodes:

@@ -222,7 +222,7 @@ class HeuristicMapper:
 
     def map_internal(self, circuit: BitCircuit,
                      nodes_to_bootstrap: set[str]) -> LutProgram:
-        prog = LutProgram()
+        prog = LutProgram(fbs_size=self.space.fbs_size)
         cones: dict[str, Cone] = {"0": self.const_cone(0),
                                   "1": self.const_cone(1)}
 

@@ -72,8 +72,12 @@ def main(argv=None) -> int:
         prog = parse_lbf(open(args.filename).read())
 
     stats = prog.stats()
-    p_needed = max(2, (stats["max_lut_size"] + 1) // 2)
-    print(f"# program: {stats}", file=sys.stderr)
+    # the FBS size the mapper targeted: recorded in the .lbf (our superset
+    # stanza), else the smallest p at which every table is realizable —
+    # max_lut_size//2 alone is NOT enough, negacyclic half-tables are tied
+    # to the exact mapping-time p
+    p_needed = prog.fbs_size or prog.min_fbs_size()
+    print(f"# program: {stats} (p={p_needed})", file=sys.stderr)
 
     # --- keys -----------------------------------------------------------
     if args.keys:
