@@ -109,13 +109,19 @@ def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref, *extra,
 
     @pl.when(j == 0)
     def _rotate_and_decompose():
+        # all k+1 components in ONE barrel/decompose pass ([k1·B, N]) —
+        # same element volume, 3x fewer vector-op issues
+        batch = dig_ref.shape[0]
         amt = a_ref[0]
-        for c in range(k1):
-            acc_c = out_ref[c]
-            diff = _barrel_rotate(acc_c, amt, interpret) - acc_c
-            for lev, d in enumerate(_decompose_digits(diff, b, l)):
+        acc = out_ref[:].reshape(k1 * batch, N)
+        amt_all = jnp.broadcast_to(amt[None], (k1,) + amt.shape) \
+            .reshape(k1 * batch, 1)
+        diff = _barrel_rotate(acc, amt_all, interpret) - acc
+        for lev, d in enumerate(_decompose_digits(diff, b, l)):
+            d8 = d.astype(jnp.int8)
+            for c in range(k1):
                 dig_ref[:, (c * l + lev) * N:(c * l + lev + 1) * N] = \
-                    d.astype(jnp.int8)
+                    d8[c * batch:(c + 1) * batch]
 
     limb = j // k1
     comp = j % k1

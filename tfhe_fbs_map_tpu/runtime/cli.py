@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     ap.add_argument("--keys", help="key checkpoint (.npz); generated if absent")
     ap.add_argument("--save-keys", help="write generated keys here")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run the circuit this many times; report the last "
+                         "(steady-state, compile cache warm)")
     ap.add_argument("--test-params", action="store_true",
                     help="use the small insecure test parameter set")
     ap.add_argument("--orientation", default="auto",
@@ -133,12 +136,14 @@ def main(argv=None) -> int:
 
     ex = CircuitExecutor(prog, keys, fast_keys=fast)
     t0 = time.time()
-    buf = ex.encrypt_inputs(values, rng)
+    buf0 = ex.encrypt_inputs(values, rng)
     enc_s = time.time() - t0
-    t0 = time.time()
-    buf = ex.run(buf)
-    _ = np.asarray(buf[:1, :1, -1:])   # force completion
-    run_s = time.time() - t0
+    run_s = None
+    for _ in range(max(1, args.repeat)):
+        t0 = time.time()
+        buf = ex.run(buf0)
+        _ = np.asarray(buf[:1, :1, -1:])   # force completion
+        run_s = time.time() - t0
     got = ex.decrypt_outputs(buf)
 
     errors = 0
