@@ -120,3 +120,35 @@ def test_lbf_const_output():
     env.write_lbf(buf)
     prog2 = parse_lbf(buf.getvalue())
     assert np.all(np.asarray(prog2.eval({"a": [0, 1]})["z"]) == 1)
+
+
+def test_fbs_size_roundtrip_and_inference():
+    """Negacyclic half-tables are tied to the mapping-time p: the .lbf
+    records it (superset stanza), and inference recovers the smallest
+    valid p for reference-format files (regression: a len-17 table mapped
+    at p=10 must NOT be re-executed at p=9)."""
+    import io
+
+    from tfhe_fbs_map_tpu.frontend.lut_program import LutProgram, parse_lbf
+
+    prog = LutProgram(fbs_size=10)
+    x = prog.input("x")
+    # len-17 table satisfying t[i] + t[i+10] == 1 on the overlap (mode 1)
+    table = [0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0]
+    assert all(table[i] + table[i + 10] == 1 for i in range(7))
+    lin = prog.linear([16], [x], const_coef=0)  # value bound 16 → 17 entries
+    prog.output("y", prog.bootstrap(lin, table))
+
+    buf = io.StringIO()
+    prog.write_lbf(buf)
+    text = buf.getvalue()
+    assert ".fbs_size 10" in text
+    again = parse_lbf(text)
+    assert again.fbs_size == 10
+
+    # reference-format file (no stanza): inference must reject p=9
+    stripped = "\n".join(ln for ln in text.splitlines()
+                         if not ln.startswith(".fbs_size"))
+    legacy = parse_lbf(stripped)
+    assert legacy.fbs_size is None
+    assert legacy.min_fbs_size() == 10
