@@ -56,10 +56,49 @@ def best_configs(rows: list[dict]) -> dict[str, dict]:
     return best
 
 
+def plot_suite(rows: list[dict], stem: str, out_dir: Path) -> None:
+    """Cost-vs-p and #bootstraps-vs-p figures (PDF), one line per bench —
+    parity with the reference's matplotlib figures
+    (``analyse_results.py:148-166, 272-295, 299-388``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    for metric, fname in (("total_cost", f"{stem}_cost_vs_p.pdf"),
+                          ("nb_bootstrap", f"{stem}_boots_vs_p.pdf")):
+        by_bench: dict[str, list[tuple[int, float]]] = defaultdict(list)
+        for r in rows:
+            if r["mapper"] != "search":
+                continue
+            try:
+                by_bench[r["bench"]].append(
+                    (int(r["fbs_size"]), float(r[metric])))
+            except (KeyError, ValueError):
+                continue
+        if not by_bench:
+            continue
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        for bench, pts in sorted(by_bench.items()):
+            pts.sort()
+            ax.plot([p for p, _ in pts], [v for _, v in pts],
+                    marker=".", label=bench, linewidth=1)
+        ax.set_xlabel("FBS size p")
+        ax.set_ylabel(metric)
+        ax.set_yscale("log")
+        if len(by_bench) <= 14:
+            ax.legend(fontsize=6, ncol=2)
+        fig.tight_layout()
+        fig.savefig(out_dir / fname)
+        plt.close(fig)
+        print(f"# wrote {out_dir / fname}", file=sys.stderr)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("csvs", nargs="+")
     ap.add_argument("--latex", action="store_true")
+    ap.add_argument("--plots", action="store_true",
+                    help="also write cost/boots-vs-p PDF figures")
     args = ap.parse_args()
 
     for path in args.csvs:
@@ -113,6 +152,13 @@ def main() -> int:
         for m, ts in sorted(by_mapper.items()):
             print(f"- {m}: mean {sum(ts)/len(ts):.3f} "
                   f"min {min(ts):.3f} max {max(ts):.3f} over {len(ts)} runs")
+
+        if args.plots:
+            try:
+                plot_suite(rows, Path(path).stem, Path(path).parent)
+            except ImportError:
+                print("# matplotlib unavailable; skipping plots",
+                      file=sys.stderr)
     return 0
 
 
