@@ -33,6 +33,12 @@ def main() -> int:
                     help="key limbs kept (matmul path; 3 = quantized BSK)")
     ap.add_argument("--trace", metavar="LOGDIR", default=None,
                     help="capture a JAX profiler trace of the timed loop")
+    ap.add_argument("--preset", default="anchor",
+                    choices=["anchor", "p8", "p16", "p32"],
+                    help="parameter set: the ~128-bit p=4 anchor, or the "
+                         "optimizer's picks for larger FBS sizes "
+                         "(p16/p32 need --orientation fused_otf: their key "
+                         "matrices exceed HBM)")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +57,22 @@ def main() -> int:
                             ksk_base_log=4, lwe_noise_std=4.0,
                             glwe_noise_std=4.0)
         args.batch = min(args.batch, 32)
+    elif args.preset != "anchor":
+        # the parameter optimizer's picks for larger FBS sizes (see
+        # optimizer/optimizer.py; values pinned here so the bench is stable)
+        presets = {
+            "p8": (8, 610, 2, 512, 3, 6, 6, 2),
+            "p16": (16, 642, 2, 1024, 3, 7, 7, 2),
+            "p32": (32, 706, 1, 2048, 3, 8, 8, 2),
+        }
+        p, n_, k_, N_, bl, bb, kl, kb = presets[args.preset]
+        from tfhe_fbs_map_tpu.tfhe.params import min_noise_std_rel
+        params = TFHEParams(p=p, lwe_dim=n_, glwe_dim=k_, poly_size=N_,
+                            bsk_level=bl, bsk_base_log=bb, ksk_level=kl,
+                            ksk_base_log=kb,
+                            lwe_noise_std=min_noise_std_rel(n_) * 2.0 ** 32,
+                            glwe_noise_std=min_noise_std_rel(k_ * N_)
+                            * 2.0 ** 32)
     elif args.orientation in ("matmul", "fused", "fused_otf"):
         # ~128-bit anchor tuned for the s8 matmul path: base 2^8 x 2 levels
         # keeps the precomputed key-matrix limbs at n*2*(rows*N)*(k+1)N =

@@ -126,18 +126,9 @@ def prepare_fast_keys(keys: TFHEKeys, orientation: str = "matmul",
         # and the stack of all N rotations is built by log2(N) doubling
         # steps of *static* negacyclic rolls; chunks accumulate into a
         # donated preallocated buffer.
-        from .polymul import negacyclic_roll_static
+        from .polymul import negacyclic_rotation_stack as all_rotations
 
         n_polys = rows * k1
-
-        def all_rotations(polys):                        # [P, N] -> [P, N, N]
-            r = polys[:, None, :]
-            step = 1
-            while step < N:
-                r = jnp.concatenate(
-                    [r, negacyclic_roll_static(r, step)], axis=1)
-                step *= 2
-            return r                                     # rows j = 0..N-1
 
         drop = N_LIMBS - bsk_limbs
 

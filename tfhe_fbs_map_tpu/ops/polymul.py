@@ -149,6 +149,19 @@ def monomial_rotate_onehot(poly: jnp.ndarray, amount: jnp.ndarray,
     return out.reshape(batch, chans, n)
 
 
+def negacyclic_rotation_stack(polys: jnp.ndarray) -> jnp.ndarray:
+    """[..., N] -> [..., N, N]: row j = X^j·poly — equal to
+    :func:`negacyclic_matrix` but gather-free (log2 N doubling steps of
+    static negacyclic rolls; TPU gathers scalarize, ~250 s at N=2048)."""
+    n = polys.shape[-1]
+    r = polys[..., None, :]
+    step = 1
+    while step < n:
+        r = jnp.concatenate([r, negacyclic_roll_static(r, step)], axis=-2)
+        step *= 2
+    return r
+
+
 def negacyclic_roll_static(poly: jnp.ndarray, s: int) -> jnp.ndarray:
     """X^s · poly for a *static* s ∈ [0, 2N): two slices + a concat."""
     n = poly.shape[-1]

@@ -22,7 +22,7 @@ from functools import cached_property
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.polymul import negacyclic_matrix
+from ..ops.polymul import negacyclic_rotation_stack
 from .numeric import I32
 from .params import Q_BITS, TFHEParams
 
@@ -55,8 +55,7 @@ class TFHEKeys:
     @cached_property
     def key_matrices(self) -> jnp.ndarray:
         """Negacyclic matrices of the GLWE key polys, [k, N, N] int32."""
-        return jnp.stack([negacyclic_matrix(self.glwe_key[c])
-                          for c in range(self.params.glwe_dim)])
+        return negacyclic_rotation_stack(self.glwe_key)
 
 
 def save_keys(path: str, keys: TFHEKeys) -> None:
@@ -96,7 +95,7 @@ def generate_keys(params: TFHEParams, seed: int = 0) -> TFHEKeys:
     lwe_key = jnp.asarray(lwe_key_np)
     glwe_key = jnp.asarray(glwe_key_np)
 
-    key_mats = jnp.stack([negacyclic_matrix(glwe_key[c]) for c in range(k)])
+    key_mats = negacyclic_rotation_stack(glwe_key)
 
     # --- bootstrapping key: GGSW(s_i) under the GLWE key ------------------
     # Fresh zero-encryptions (a_0..a_{k-1}, b = sum_c a_c ⊛ s_c + e), plus
