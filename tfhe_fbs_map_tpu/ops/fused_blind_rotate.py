@@ -4,10 +4,11 @@ One ``pallas_call`` executes all ``n`` CMux steps of the blind rotation
 (the executor core the reference delegates to Zama Concrete — SURVEY.md §2
 C18) with the accumulator resident in VMEM for the whole loop:
 
-* grid = (n steps, bsk_limbs·(k+1) output chunks); the precomputed
-  negacyclic key-matrix limbs (``prepare_fast_keys`` orientation="matmul")
-  stream HBM→VMEM one [rows·N, N] chunk at a time, double-buffered by the
-  Pallas pipeline;
+* grid = (n steps, bsk_limbs·(k+1) output chunks); key material streams
+  HBM→VMEM one chunk per grid step, double-buffered by the Pallas
+  pipeline — either a precomputed [rows·N, N] negacyclic matrix limb
+  (orientation "fused") or a compact [rows, 2N] anti-periodic limb
+  extension rebuilt in VMEM (orientation "fused_otf");
 * the per-ciphertext monomial rotation is a **barrel shifter fused in
   VMEM**: log2(2N) stages of static ``pltpu.roll`` + per-row bit selects.
   (The XLA version of this materializes every stage through HBM — PERF.md;
