@@ -25,7 +25,6 @@ import argparse
 import ast
 import csv
 import multiprocessing as mp
-import os
 import subprocess
 import sys
 from pathlib import Path

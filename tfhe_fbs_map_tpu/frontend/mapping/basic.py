@@ -12,7 +12,6 @@ wire environment.
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..bit_circuit import BitCircuit, K_INPUT
 from ..lut_program import LutProgram

@@ -30,7 +30,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..tfhe.keys import TFHEKeys
 from ..tfhe.numeric import I32, gadget_decompose, signed_limbs
