@@ -94,8 +94,21 @@ def main() -> int:
     keys = generate_keys(params, seed=1)
     kw = ({"bsk_limbs": args.bsk_limbs}
           if args.orientation in ("matmul", "fused", "fused_otf") else {})
-    fast = prepare_fast_keys(keys, orientation=args.orientation, **kw)
-    _ = np.asarray(fast.bsk_kernels[:1, :1])  # real completion barrier
+    try:
+        fast = prepare_fast_keys(keys, orientation=args.orientation, **kw)
+        _ = np.asarray(fast.bsk_kernels[:1, :1])  # real completion barrier
+    except Exception as e:
+        if args.orientation not in ("fused", "matmul") \
+                or "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        # the ~11.9 GB precomputed key matrices did not fit (e.g. residue
+        # from a crashed process holding HBM) — the compact-key kernel is
+        # the designed fallback
+        print(f"# {args.orientation} keys OOM; falling back to fused_otf",
+              file=sys.stderr)
+        args.orientation = "fused_otf"
+        fast = prepare_fast_keys(keys, orientation="fused_otf", **kw)
+        _ = np.asarray(fast.bsk_kernels[:1, :1])
     keygen_s = time.time() - t0
     print(f"# keygen done in {keygen_s:.1f}s", file=sys.stderr)
 

@@ -82,8 +82,15 @@ def run_one(cfg) -> str:
            "--output", str(log.with_suffix(".fbs")),
            "--output_lbf", str(log.with_suffix(".lbf"))]
     with open(log, "w") as f:
-        subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                       cwd=str(REPO), timeout=3600)
+        try:
+            subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                           cwd=str(REPO), timeout=3600)
+        except subprocess.TimeoutExpired:
+            # leave the partial log (aggregate() skips unparseable logs,
+            # mirroring the reference's tolerant build_csv.py) and keep
+            # the pool running
+            f.write("\n# TIMEOUT after 3600s\n")
+            return f"timeout {log.name}"
     return f"done {log.name}"
 
 
