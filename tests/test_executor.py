@@ -67,3 +67,34 @@ def test_output_shapes_and_consts(keys):
     c.set_output("g", c.and_(a, b))             # bootstrap output
     mapper = HeuristicMapper(cone_merger="search", fbs_size=TEST_PARAMS.p)
     run_both(c, mapper, keys)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Interrupted runs resume from the last level snapshot bit-exactly."""
+    import jax.numpy as jnp
+
+    from tfhe_fbs_map_tpu.frontend import HeuristicMapper
+    from tfhe_fbs_map_tpu.frontend.circuits import build_bench
+    from tfhe_fbs_map_tpu.runtime.executor import CircuitExecutor
+    from tfhe_fbs_map_tpu.tfhe import TEST_PARAMS, generate_keys
+
+    circ = build_bench("ascon_lut")
+    prog = HeuristicMapper(cone_merger="search", fbs_size=4).map(circ)
+    prog.remove_dangling_nodes()
+    keys = generate_keys(TEST_PARAMS.with_p(4), seed=3)
+    ex = CircuitExecutor(prog, keys)
+    assert len(ex.levels) >= 2
+
+    rng = np.random.default_rng(0)
+    values = {i.name: rng.integers(0, 2, 4) for i in circ.inputs}
+    buf0 = ex.encrypt_inputs(values, rng)
+    want = ex.decrypt_outputs(ex.run(buf0))
+
+    ckpt = str(tmp_path / "run.npz")
+    # simulate a crash: checkpoint after every level, run only level 0
+    ex.run(buf0, checkpoint=ckpt, checkpoint_every=1)
+    # wipe and resume in a FRESH executor from the snapshot
+    ex2 = CircuitExecutor(prog, keys)
+    got = ex2.decrypt_outputs(ex2.run(buf0, checkpoint=ckpt,
+                                      checkpoint_every=1))
+    assert all(np.array_equal(want[k], got[k]) for k in want)

@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     ap.add_argument("--keys", help="key checkpoint (.npz); generated if absent")
     ap.add_argument("--save-keys", help="write generated keys here")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--checkpoint", default=None,
+                    help=".npz path: snapshot the wire buffer every few "
+                         "levels and resume an interrupted run from it")
     ap.add_argument("--repeat", type=int, default=1,
                     help="run the circuit this many times; report the last "
                          "(steady-state, compile cache warm)")
@@ -141,7 +144,7 @@ def main(argv=None) -> int:
     run_s = None
     for _ in range(max(1, args.repeat)):
         t0 = time.time()
-        buf = ex.run(buf0)
+        buf = ex.run(buf0, checkpoint=args.checkpoint)
         _ = np.asarray(buf[:1, :1, -1:])   # force completion
         run_s = time.time() - t0
     got = ex.decrypt_outputs(buf)

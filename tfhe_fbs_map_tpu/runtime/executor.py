@@ -182,9 +182,31 @@ class CircuitExecutor:
                 buf[self.input_rows[name]] = cts[idx]
         return jnp.asarray(buf)
 
-    def run(self, buf: jnp.ndarray) -> jnp.ndarray:
-        """Execute all levels; returns the filled wire buffer."""
-        for plan in self.levels:
+    def run(self, buf: jnp.ndarray, checkpoint: str | None = None,
+            checkpoint_every: int = 8) -> jnp.ndarray:
+        """Execute all levels; returns the filled wire buffer.
+
+        ``checkpoint``: optional ``.npz`` path.  The wire buffer is saved
+        every ``checkpoint_every`` levels, and a matching file resumes the
+        run from the level after its snapshot — the TPU-native analogue of
+        the reference harness's make-level file-existence resume
+        (SURVEY.md §5 "Checkpoint / resume").  Deep unrolled circuits
+        (Trivium/Kreyvium streams) take minutes per batch; a preemption
+        costs at most ``checkpoint_every`` levels.
+        """
+        start = 0
+        if checkpoint is not None:
+            try:
+                with np.load(checkpoint) as z:
+                    if z["num_levels"] == len(self.levels) \
+                            and z["buf"].shape == tuple(buf.shape):
+                        start = int(z["level"]) + 1
+                        buf = jnp.asarray(z["buf"])
+            except FileNotFoundError:
+                pass
+        for lv, plan in enumerate(self.levels):
+            if lv < start:
+                continue
             buf = _level_step(self.keys, self.fast_keys, buf,
                               jnp.asarray(plan.wire_idx),
                               jnp.asarray(plan.coefs),
@@ -192,6 +214,11 @@ class CircuitExecutor:
                               jnp.asarray(plan.test_polys),
                               jnp.asarray(plan.posts),
                               jnp.asarray(plan.out_rows))
+            if checkpoint is not None \
+                    and (lv + 1) % checkpoint_every == 0 \
+                    and lv + 1 < len(self.levels):
+                np.savez(checkpoint, buf=np.asarray(buf), level=lv,
+                         num_levels=len(self.levels))
         return buf
 
     def decrypt_outputs(self, buf: jnp.ndarray) -> dict[str, np.ndarray]:
