@@ -142,9 +142,11 @@ def main(argv=None) -> int:
     buf0 = ex.encrypt_inputs(values, rng)
     enc_s = time.time() - t0
     run_s = None
-    for _ in range(max(1, args.repeat)):
+    for rep in range(max(1, args.repeat)):
         t0 = time.time()
-        buf = ex.run(buf0, checkpoint=args.checkpoint)
+        # checkpointing only applies to the first run: later repeats are
+        # steady-state timing and must not resume from its snapshots
+        buf = ex.run(buf0, checkpoint=args.checkpoint if rep == 0 else None)
         _ = np.asarray(buf[:1, :1, -1:])   # force completion
         run_s = time.time() - t0
     got = ex.decrypt_outputs(buf)
