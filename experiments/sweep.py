@@ -58,22 +58,24 @@ def ensure_generated(bench_dir: Path) -> None:
             circ.to_blif(fs=f, model_name=name)
 
 
-def configs_for(suite: str, bench_files: list[Path], out_dir: Path):
+def configs_for(suite: str, bench_files: list[Path], out_dir: Path,
+                timeout: float = 3600):
     sizes, with_basic = SWEEPS[suite]
     fmt = SUITE_FORMAT[suite]
     for bench in bench_files:
         stem = bench.stem
         if with_basic:
-            yield (bench, fmt, 2, "basic", out_dir / f"{stem}_2_basic.log")
+            yield (bench, fmt, 2, "basic",
+                   out_dir / f"{stem}_2_basic.log", timeout)
         for p in sizes:
             for mapper in ("naive", "search") if suite == "epfl" \
                     else ("search",):
                 yield (bench, fmt, p, mapper,
-                       out_dir / f"{stem}_{p}_{mapper}.log")
+                       out_dir / f"{stem}_{p}_{mapper}.log", timeout)
 
 
 def run_one(cfg) -> str:
-    bench, fmt, p, mapper, log = cfg
+    bench, fmt, p, mapper, log, timeout = cfg
     if log.exists():
         return f"skip {log.name}"
     cmd = [sys.executable, "-m", "tfhe_fbs_map_tpu.frontend.cli",
@@ -84,12 +86,12 @@ def run_one(cfg) -> str:
     with open(log, "w") as f:
         try:
             subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                           cwd=str(REPO), timeout=3600)
+                           cwd=str(REPO), timeout=timeout)
         except subprocess.TimeoutExpired:
             # leave the partial log (aggregate() skips unparseable logs,
             # mirroring the reference's tolerant build_csv.py) and keep
             # the pool running
-            f.write("\n# TIMEOUT after 3600s\n")
+            f.write(f"\n# TIMEOUT after {timeout}s\n")
             return f"timeout {log.name}"
     return f"done {log.name}"
 
@@ -137,6 +139,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="generated", choices=list(SWEEPS))
     ap.add_argument("--jobs", type=int, default=4)
+    ap.add_argument("--timeout", type=float, default=3600,
+                    help="per-config mapper budget (s); slower configs are "
+                         "logged as timeouts and skipped by aggregation")
     ap.add_argument("--out", default=None)
     ap.add_argument("--bench", nargs="*", default=None,
                     help="restrict to these benchmark stems")
@@ -168,7 +173,8 @@ def main() -> int:
     bench_files = sorted(bench_dir.glob(exts[SUITE_FORMAT[args.suite]]))
     if args.bench:
         bench_files = [b for b in bench_files if b.stem in args.bench]
-    cfgs = list(configs_for(args.suite, bench_files, out_dir))
+    cfgs = list(configs_for(args.suite, bench_files, out_dir,
+                        args.timeout))
     print(f"{len(cfgs)} configs over {len(bench_files)} benchmarks")
 
     with mp.Pool(args.jobs) as pool:
