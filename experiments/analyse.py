@@ -125,6 +125,21 @@ def main() -> int:
             else:
                 print("| " + " | ".join(map(str, cells)) + " |")
 
+        # AutoHoG comparison where applicable (reference
+        # analyse_results.py:171-183 — their numbers are CPU evaluation
+        # seconds; ours are TPU-roofline estimates for the best config)
+        auto = {b: r for b, r in best.items() if b in AUTOHOG_ISCAS85}
+        if auto:
+            print("\n### vs AutoHoG (ISCAS85; seconds per evaluation)")
+            for b, r in sorted(auto.items()):
+                base_s, autohog_s = AUTOHOG_ISCAS85[b]
+                try:
+                    ours_s = float(r["total_cost"]) * 1e-6
+                except ValueError:
+                    continue
+                print(f"- {b}: ours (est) {ours_s:.4f}s vs TFHE-baseline "
+                      f"{base_s}s / AutoHoG {autohog_s}s")
+
         # Bon et al. comparison where applicable
         printed_header = False
         for b, ref in BON_ET_AL.items():
