@@ -28,6 +28,9 @@ def main(argv=None) -> int:
                     help="input is a source circuit: map it first")
     ap.add_argument("--type", default="blif",
                     choices=["blif", "bristol", "bench"])
+    ap.add_argument("--unroll_frames", type=int, default=10,
+                    help="time frames for sequential .bench circuits "
+                         "(matches the mapping CLI default)")
     ap.add_argument("--mapper", default="search",
                     choices=["basic", "naive", "search"])
     ap.add_argument("--fbs_size", type=int, default=None,
@@ -66,7 +69,9 @@ def main(argv=None) -> int:
     # --- obtain the program --------------------------------------------
     circuit = None
     if args.map:
-        circuit = parse_circuit(args.filename, args.type)
+        kw = ({"unroll_frames": args.unroll_frames}
+              if args.type == "bench" else {})
+        circuit = parse_circuit(args.filename, args.type, **kw)
         p = args.fbs_size or 4
         if args.mapper == "basic":
             prog = BasicMapper().map(circuit)

@@ -172,15 +172,17 @@ class CircuitExecutor:
         """
         v = len(next(iter(values.values()))) if values else 1
         d = self.params.big_dim + 1
-        buf = np.zeros((self.num_wires, v, d), dtype=np.int32)
+        buf = jnp.zeros((self.num_wires, v, d), dtype=np.int32)
         names = list(self.input_rows)
         if names:
             flat = np.concatenate([np.asarray(values[n]) for n in names])
-            cts = np.asarray(encrypt_values(self.keys, flat, rng))
+            cts = encrypt_values(self.keys, flat, rng)
             cts = cts.reshape(len(names), v, d)
-            for idx, name in enumerate(names):
-                buf[self.input_rows[name]] = cts[idx]
-        return jnp.asarray(buf)
+            rows = jnp.asarray([self.input_rows[n] for n in names])
+            # device-side scatter — reading the ciphertexts back to host
+            # costs ~MB/s over the tunneled backend
+            buf = buf.at[rows].set(cts)
+        return buf
 
     def run(self, buf: jnp.ndarray, checkpoint: str | None = None,
             checkpoint_every: int = 8) -> jnp.ndarray:
