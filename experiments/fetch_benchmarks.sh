@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 mkdir -p benchmarks
 
 # EPFL combinational benchmark suite (arithmetic + random_control BLIFs)
-if [ ! -d benchmarks/epfl ]; then
+if [ ! -f benchmarks/epfl/adder.blif ]; then
   git clone --depth 1 https://github.com/lsils/benchmarks benchmarks/_epfl_raw
   mkdir -p benchmarks/epfl
   cp benchmarks/_epfl_raw/arithmetic/*.blif benchmarks/epfl/ || true
@@ -31,7 +31,7 @@ for s in s27 s208 s298 s344 s349 s382 s386 s400 s420 s444 s510 s526 s641 \
 done
 
 # Bristol-fashion MPC circuits
-if [ ! -d benchmarks/bristol ]; then
+if [ ! -f benchmarks/bristol/adder64.txt ]; then
   git clone --depth 1 https://github.com/nigelsmart/MPC-Circuits \
     benchmarks/_bristol_raw
   mkdir -p benchmarks/bristol
