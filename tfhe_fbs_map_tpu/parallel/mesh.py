@@ -83,7 +83,7 @@ def sharded_bootstrap(mesh: Mesh, fast):
                               fast.ksk_limbs, big_cts, tvs, posts)
 
     if fast.orientation in ("fused", "fused_otf"):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         def fn_keys(bsk, ksk, big_cts, tvs, posts):
             return _fbs_fast_impl(params, fast.orientation, bsk, ksk,
@@ -96,7 +96,7 @@ def sharded_bootstrap(mesh: Mesh, fast):
         mapped = shard_map(
             fn_keys, mesh=mesh,
             in_specs=(P(), P(), P("dp"), P("dp"), P("dp")),
-            out_specs=P("dp"), check_rep=False)
+            out_specs=P("dp"), check_vma=False)
 
         def fn(big_cts, tvs, posts):
             return mapped(fast.bsk_kernels, fast.ksk_limbs,
