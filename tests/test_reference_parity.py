@@ -138,6 +138,26 @@ def test_heuristic_parity(ref, circuits, bench):
     assert checked == len(MERGERS) * len(FBS_SIZES)
 
 
+@pytest.mark.parametrize("variant,p", [(2, 7), (2, 12), (3, 16)])
+def test_stream_parity(ref, variant, p):
+    """Truncated Trivium keystream — deep cones with large supports, the
+    regime where the vectorized coefficient search must still match the
+    reference scan (the full 1152-round streams are the r1 sweep-timeout
+    configs; 32 rounds covers the same cone shapes)."""
+    from tfhe_fbs_map_tpu.frontend.circuits.generators import _stream_bench
+    bee, map_to_fbs = ref
+    circ = _stream_bench(variant, kreyvium=False, iters=32)
+    circ.remove_dangling_nodes()
+    env = to_ref_env(circ, bee)
+    theirs = _ref_stats(map_to_fbs, env, "search", p)
+    ours = _our_stats(circ, "search", p)
+    assert theirs is not None and ours is not None
+    for key in STATS_KEYS:
+        assert theirs[key] == ours[key], \
+            f"stream_v{variant}/p={p}: {key} ref={theirs[key]} " \
+            f"ours={ours[key]}"
+
+
 @pytest.mark.parametrize("bench", BENCHES)
 def test_basic_parity(ref, circuits, bench):
     _, map_to_fbs = ref

@@ -33,11 +33,11 @@ def complete_test_vector(tt: np.ndarray, mvt: np.ndarray,
                          missing_val: int) -> list[int]:
     """Dense test vector over ``[mvt.min(), mvt.max()]``; holes get
     ``missing_val`` (reference ``map_to_fbs.py:73-76``)."""
+    mvt = np.asarray(mvt)
     lo, hi = int(mvt.min()), int(mvt.max())
-    table = [missing_val] * (hi - lo + 1)
-    for value, bit in zip(mvt, tt):
-        table[int(value) - lo] = int(bit)
-    return table
+    table = np.full(hi - lo + 1, missing_val, dtype=np.int64)
+    table[mvt - lo] = tt
+    return table.tolist()
 
 
 class ConeSpace:
@@ -55,7 +55,7 @@ class ConeSpace:
     # -- validity ---------------------------------------------------------
     def mvt_consistent(self, tt: np.ndarray, mvt: np.ndarray) -> bool:
         """No mvt value may be shared by a tt-0 and a tt-1 row."""
-        return len(set(mvt[tt == 0]).intersection(mvt[tt == 1])) == 0
+        return not np.isin(mvt[tt == 0], mvt[tt == 1]).any()
 
     def test_vector_ok(self, tv: Sequence[int]) -> bool:
         """A test vector longer than p but ≤ 2p is accepted in three
@@ -179,6 +179,83 @@ def pair_tables(cone1: Cone, cone2: Cone, gate_tt: Sequence[int]
     r_tt = np.asarray(gate_tt, dtype=np.int64)[2 * cone1.tt[idx1]
                                                + cone2.tt[idx2]]
     return xy_mvt, r_tt
+
+
+def dedupe_pair_rows(xy_mvt: np.ndarray, r_tt: np.ndarray):
+    """Collapse the union-support rows to unique ``(x, y)`` value pairs.
+
+    Validity of a lincomb ``a·x + b·y`` depends only on the set of
+    ``(x, y, tt)`` triples, and the search's Σmvt² tie-break only on their
+    multiplicities — so the O(2^|support|) row tables reduce to at most
+    span(x)·span(y) rows for the whole coefficient scan.
+
+    Returns ``(xu, yu, tt_u, counts)`` or ``None`` when some value pair
+    occurs with both tt polarities: then every lincomb maps a tt-0 and a
+    tt-1 row to the same value, so no valid coefficients exist at all.
+    """
+    x = xy_mvt[:, 0]
+    y = xy_mvt[:, 1]
+    key = (x - x.min()) * np.int64(y.max() - y.min() + 1) + (y - y.min())
+    uniq, first, inverse, counts = np.unique(
+        key, return_index=True, return_inverse=True, return_counts=True)
+    ones = np.bincount(inverse, weights=r_tt).astype(np.int64)
+    if np.any((ones > 0) & (ones < counts)):
+        return None
+    return (x[first].astype(np.int64), y[first].astype(np.int64),
+            (ones > 0).astype(np.int64), counts.astype(np.int64))
+
+
+def valid_pairs_mask(space: ConeSpace, cand: np.ndarray, xu: np.ndarray,
+                     yu: np.ndarray, tt_u: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``lut_ok`` over candidate coefficient pairs.
+
+    ``cand`` is [P, 2] (a, b) pairs; rows are the deduplicated value pairs
+    from :func:`dedupe_pair_rows`.  Returns ``(valid [P] bool, mvts [P, U])``
+    with semantics identical to calling ``space.lut_ok`` per pair on the
+    full row tables (reference ``map_to_fbs.py:81-113``).
+    """
+    p, maxp = space.fbs_size, space.max_fbs_size
+    mvts = cand[:, :1] * xu[None, :] + cand[:, 1:] * yu[None, :]
+    lo = mvts.min(axis=1)
+    span = mvts.max(axis=1) - lo + 1
+    valid = np.zeros(len(cand), dtype=bool)
+    sub = np.nonzero(span <= maxp)[0]
+    if not len(sub):
+        return valid, mvts
+
+    sm = mvts[sub] - lo[sub, None]
+    rows = np.arange(len(sub))[:, None]
+    t0 = tt_u == 0
+    pres0 = np.zeros((len(sub), maxp), dtype=bool)
+    pres1 = np.zeros((len(sub), maxp), dtype=bool)
+    if t0.any():
+        pres0[rows, sm[:, t0]] = True
+    if (~t0).any():
+        pres1[rows, sm[:, ~t0]] = True
+    consistent = ~(pres0 & pres1).any(axis=1)
+
+    small = span[sub] <= p
+    ok = consistent & small
+    big = consistent & ~small
+    if big.any():
+        # Negacyclic half-table acceptance: compare the head tv[:span-p]
+        # against the tail tv[p:span] for both hole fillings m in {0, 1}
+        # (reference test_vector_ok modes, ``map_to_fbs.py:81-98``).
+        w = maxp - p
+        in_win = np.arange(w)[None, :] < (span[sub, None] - p)
+        for m in (0, 1):
+            head = np.where(pres1[:, :w], 1, np.where(pres0[:, :w], 0, m))
+            tail = np.where(pres1[:, p:p + w], 1,
+                            np.where(pres0[:, p:p + w], 0, m))
+            eq = np.where(in_win, head == tail, True)
+            all_diff = np.where(in_win, head != tail, True).all(axis=1)
+            all_eq = eq.all(axis=1)
+            head0 = np.where(in_win, head == 0, True).all(axis=1)
+            head1 = np.where(in_win, head == 1, True).all(axis=1)
+            ok |= big & (all_diff | (all_eq & (head0 | head1)))
+    valid[sub] = ok
+    return valid, mvts
 
 
 def simplify_cone(space: ConeSpace, support: np.ndarray, coefs: np.ndarray,

@@ -23,7 +23,8 @@ import numpy as np
 
 from ..bit_circuit import BitCircuit, K_INPUT
 from ..lut_program import LutProgram, LutNode
-from .cones import (Cone, ConeSpace, merge_cones, mvt_span, pair_tables)
+from .cones import (Cone, ConeSpace, dedupe_pair_rows, merge_cones, mvt_span,
+                    pair_tables, valid_pairs_mask)
 
 __all__ = ["HeuristicMapper", "MappingError"]
 
@@ -53,7 +54,8 @@ class HeuristicMapper:
             self._find_coefs = self._find_coefs_search
         else:
             raise ValueError(f"unknown cone merger {cone_merger!r}")
-        self._coef_cache: dict[str, tuple] = {}
+        self._coef_cache: dict[tuple, tuple | None] = {}
+        self._group_cache: dict[tuple, list] = {}
         self.logger = logging.getLogger(f"fbs_mapper.heur_{cone_merger}")
 
     # -------------------------------------------------------------- cones
@@ -92,18 +94,26 @@ class HeuristicMapper:
         return self.materialize(prog, cone).support[0]
 
     # ---------------------------------------------------- coefficient search
-    def _find_coefs_naive(self, xy_mvt: np.ndarray, r_tt: np.ndarray):
-        a, b = mvt_span(xy_mvt[:, 1]), 1
-        r_mvt = a * xy_mvt[:, 0] + b * xy_mvt[:, 1]
-        if self.space.lut_ok(r_tt, r_mvt):
-            return (a, b), r_mvt
-        return None, None
+    # Both searchers run on the deduplicated (x, y, tt, count) rows from
+    # ``dedupe_pair_rows`` — validity and the Σmvt² tie-break (with counts as
+    # multiplicities) are exactly those of the full 2^|support| row tables,
+    # at a fraction of the size.
 
-    @staticmethod
-    def _coefs_by_fbs_size(size1: int, size2: int) -> dict:
+    def _find_coefs_naive(self, xu, yu, tt_u, counts):
+        a, b = mvt_span(yu), 1
+        if self.space.lut_ok(tt_u, a * xu + b * yu):
+            return (a, b)
+        return None
+
+    def _coefs_by_fbs_size(self, size1: int, size2: int) -> list:
         """All (a, b) candidates grouped by the merged FBS size
-        |a|(size1-1) + |b|(size2-1); the smaller cone gets the signed range
-        (reference ``map_to_fbs.py:344-361``)."""
+        |a|(size1-1) + |b|(size2-1), groups in increasing size order, pairs
+        within a group in descending (a, b) order; the smaller cone gets the
+        signed range (reference ``map_to_fbs.py:344-361``)."""
+        memo_key = (size1, size2)
+        hit = self._group_cache.get(memo_key)
+        if hit is not None:
+            return hit
         if size1 < size2:
             cand = [(a, b) for a in range(size2 + 1)
                     for b in range(-size1, size1 + 1)]
@@ -113,38 +123,41 @@ class HeuristicMapper:
         cand = np.array(cand, dtype=np.int64)
         out_size = (np.abs(cand[:, 0]) * (size1 - 1)
                     + np.abs(cand[:, 1]) * (size2 - 1))
-        groups = {}
+        groups = []
         for size in np.unique(out_size):
-            pairs = [tuple(map(int, ab)) for ab in cand[out_size == size]]
-            groups[int(size)] = sorted(pairs, reverse=True)
+            pairs = sorted((tuple(map(int, ab))
+                            for ab in cand[out_size == size]), reverse=True)
+            groups.append((int(size), np.array(pairs, dtype=np.int64)))
+        self._group_cache[memo_key] = groups
         return groups
 
-    def _find_coefs_search(self, xy_mvt: np.ndarray, r_tt: np.ndarray):
-        size1 = mvt_span(xy_mvt[:, 0])
-        size2 = mvt_span(xy_mvt[:, 1])
-        best_ab, best_mvt = None, None
-        best_span, best_norm2 = 1 << 60, 1 << 60
-
-        for span_m1, pairs in self._coefs_by_fbs_size(size1, size2).items():
-            for a, b in pairs:
-                span = abs(a) * (size1 - 1) + abs(b) * (size2 - 1)
-                assert span == span_m1
-                mvt = a * xy_mvt[:, 0] + b * xy_mvt[:, 1]
-                norm2 = int(np.square(mvt).sum())
-                if span < best_span or (span == best_span
-                                        and norm2 < best_norm2):
-                    if self.space.lut_ok(r_tt, mvt):
-                        best_ab, best_mvt = (a, b), mvt
-                        best_span, best_norm2 = span, norm2
-            if best_ab is not None:
-                break
-        return best_ab, best_mvt
+    def _find_coefs_search(self, xu, yu, tt_u, counts):
+        """First group (in increasing merged-size order) containing a valid
+        pair; within it the minimal count-weighted Σmvt², ties resolved by
+        pair order — semantics of the reference scan
+        (``map_to_fbs.py:363-392``), vectorized group by group."""
+        for _, pairs in self._coefs_by_fbs_size(mvt_span(xu), mvt_span(yu)):
+            valid, mvts = valid_pairs_mask(self.space, pairs, xu, yu, tt_u)
+            if not valid.any():
+                continue
+            norm2 = (counts[None, :] * mvts * mvts).sum(axis=1)
+            norm2[~valid] = np.iinfo(np.int64).max
+            j = int(np.argmin(norm2))
+            return (int(pairs[j, 0]), int(pairs[j, 1]))
+        return None
 
     def _find_coefs_cached(self, xy_mvt: np.ndarray, r_tt: np.ndarray):
-        key = (xy_mvt.tobytes(), xy_mvt.shape[0], r_tt.tobytes())
+        dedup = dedupe_pair_rows(xy_mvt, r_tt)
+        if dedup is None:
+            return None, None
+        xu, yu, tt_u, counts = dedup
+        key = (xu.tobytes(), yu.tobytes(), tt_u.tobytes(), counts.tobytes())
         if key not in self._coef_cache:
-            self._coef_cache[key] = self._find_coefs(xy_mvt, r_tt)
-        return self._coef_cache[key]
+            self._coef_cache[key] = self._find_coefs(xu, yu, tt_u, counts)
+        ab = self._coef_cache[key]
+        if ab is None:
+            return None, None
+        return ab, ab[0] * xy_mvt[:, 0] + ab[1] * xy_mvt[:, 1]
 
     # ------------------------------------------------------------- gate step
     @staticmethod
