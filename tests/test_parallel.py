@@ -48,3 +48,56 @@ def test_sharded_bootstrap_matches_single_device(orientation, dp, tp):
     got = np.asarray(fn(shard_batch(mesh, cts), shard_batch(mesh, tvs),
                         shard_batch(mesh, posts)))
     assert np.array_equal(want.astype(np.uint32), got.astype(np.uint32))
+
+
+# ---------------------------------------------------------------------------
+# Mesh-parallel CircuitExecutor (dp-sharded wire buffer, VERDICT r1 item 1)
+# ---------------------------------------------------------------------------
+
+def _mesh_run(bench, orientation, dp, tp, batch=16, seed=7):
+    import jax
+
+    from tfhe_fbs_map_tpu.frontend import HeuristicMapper
+    from tfhe_fbs_map_tpu.frontend.circuits import build_bench
+    from tfhe_fbs_map_tpu.ops.blind_rotate import prepare_fast_keys
+    from tfhe_fbs_map_tpu.parallel.mesh import make_mesh
+    from tfhe_fbs_map_tpu.runtime.executor import CircuitExecutor
+    from tfhe_fbs_map_tpu.tfhe import TEST_PARAMS, generate_keys
+
+    keys = generate_keys(TEST_PARAMS, seed=seed)
+    circ = build_bench(bench)
+    prog = HeuristicMapper(cone_merger="search",
+                           fbs_size=TEST_PARAMS.p).map(circ)
+    prog.remove_dangling_nodes()
+
+    rng = np.random.default_rng(seed + 1)
+    vals = {i.name: rng.integers(0, 2, batch) for i in circ.inputs}
+    want = circ.eval(vals)
+
+    fast = None if orientation == "generic" else \
+        prepare_fast_keys(keys, orientation=orientation)
+    mesh = make_mesh(None, dp=dp, tp=tp)
+    ex = CircuitExecutor(prog, keys, fast_keys=fast, mesh=mesh)
+    got = ex.run_cleartext(vals, seed=seed + 2)
+    for k in want:
+        assert np.array_equal(np.asarray(want[k]), got[k]), k
+    return ex
+
+
+@pytest.mark.parametrize("orientation,dp,tp",
+                         [("generic", 8, 1), ("fused_otf", 8, 1),
+                          ("matmul", 4, 2)])
+def test_mesh_executor_full_adder(orientation, dp, tp):
+    """Full mapped circuit through the dp-sharded executor: bit-exact on
+    the 8-virtual-device mesh for the shard_map paths (generic, fused
+    Pallas) and the GSPMD path (matmul, tp-sharded key contraction)."""
+    ex = _mesh_run("full_adder", orientation, dp, tp)
+    assert ex.num_bootstraps >= 1 and ex.mesh is not None
+
+
+def test_mesh_executor_aes_sbox_realistic():
+    """Realistic shapes (49 bootstraps / 11 levels at TEST_PARAMS) through
+    the mesh executor — sharding bugs can't hide behind toy circuits."""
+    ex = _mesh_run("aes_sbox", "generic", 8, 1, batch=8)
+    assert ex.num_bootstraps >= 40
+    assert len(ex.levels) >= 8

@@ -32,6 +32,19 @@ def test_runner_map_inline(tmp_path):
     assert rc == 0
 
 
+def test_runner_mesh(tmp_path):
+    """--mesh dp,tp runs the executor mesh-parallel (VERDICT r1 item 1)."""
+    circ = build_bench("half_adder")
+    prog = HeuristicMapper(cone_merger="search", fbs_size=4).map(circ)
+    prog.remove_dangling_nodes()
+    lbf = tmp_path / "ha.lbf"
+    with open(lbf, "w") as f:
+        prog.write_lbf(f)
+    rc = run_main([str(lbf), "--batch", "8", "--test-params",
+                   "--mesh", "4,2", "--orientation", "generic"])
+    assert rc == 0
+
+
 def test_key_serialization(tmp_path):
     keys = generate_keys(TEST_PARAMS, seed=3)
     path = tmp_path / "keys.npz"

@@ -48,6 +48,11 @@ def main(argv=None) -> int:
                          "(steady-state, compile cache warm)")
     ap.add_argument("--test-params", action="store_true",
                     help="use the small insecure test parameter set")
+    ap.add_argument("--mesh", default=None, metavar="DP,TP",
+                    help="run the executor mesh-parallel: 'DP,TP' device "
+                         "counts (e.g. 4,2), 'DP' (tp=1), or 'auto' (all "
+                         "devices on dp).  dp shards the evaluation batch; "
+                         "tp shards the matmul-orientation key contraction")
     ap.add_argument("--orientation", default="auto",
                     choices=["auto", "fused", "fused_otf", "matmul",
                              "keys_lhs", "keys_lhs_bf16", "keys_rhs",
@@ -142,7 +147,24 @@ def main(argv=None) -> int:
             print(f"# fast keys ({orient}): {time.time() - t0:.1f}s",
                   file=sys.stderr)
 
-    ex = CircuitExecutor(prog, keys, fast_keys=fast)
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        if args.mesh == "auto":
+            dp, tp = len(jax.devices()), 1
+        else:
+            parts = [int(x) for x in args.mesh.split(",")]
+            dp, tp = (parts + [1])[:2]
+        mesh = make_mesh(jax.devices()[:dp * tp], dp=dp, tp=tp)
+        if args.batch % dp:
+            print(f"--batch {args.batch} must be divisible by dp={dp}",
+                  file=sys.stderr)
+            return 1
+        print(f"# mesh: dp={dp} tp={tp}", file=sys.stderr)
+
+    ex = CircuitExecutor(prog, keys, fast_keys=fast, mesh=mesh)
     t0 = time.time()
     buf0 = ex.encrypt_inputs(values, rng)
     enc_s = time.time() - t0
@@ -170,6 +192,7 @@ def main(argv=None) -> int:
         "levels": len(ex.levels),
         "bootstraps": ex.num_bootstraps,
         "batch": args.batch,
+        "mesh": dict(mesh.shape) if mesh is not None else None,
         "encrypt_s": round(enc_s, 3),
         "run_s": round(run_s, 3),
         "boots_per_sec": round(total_boots / run_s, 2) if run_s else None,

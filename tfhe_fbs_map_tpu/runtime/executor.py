@@ -59,15 +59,30 @@ class OutputSpec:
 
 class CircuitExecutor:
     def __init__(self, prog: LutProgram, keys: TFHEKeys,
-                 fast_keys=None):
+                 fast_keys=None, mesh=None):
         """``fast_keys``: optional :class:`ops.blind_rotate.FastKeys`; when
         given, bootstraps run on the MXU fast path instead of the generic
-        gather-based external product."""
+        gather-based external product.
+
+        ``mesh``: optional :class:`jax.sharding.Mesh` with a ``"dp"`` axis
+        (and optionally ``"tp"``).  The wire buffer ``[num_wires, V, d]`` is
+        dp-sharded on the evaluation batch V and every level step runs
+        sharded: the fused Pallas / generic orientations via ``shard_map``
+        (a ``pallas_call`` is opaque to the GSPMD partitioner; the circuit
+        plan and key material replicate, each device bootstraps its batch
+        slice — no collectives, DP over ciphertexts rides for free), the
+        ``matmul`` orientation via GSPMD with the key contraction tp-sharded
+        (partial external products meet in an ICI psum)."""
         self.prog = prog
         self.keys = keys
         self.fast_keys = fast_keys
+        self.mesh = mesh
         self.params: TFHEParams = keys.params
         self._compile(prog)
+        self._sharded_step = None
+        if mesh is not None:
+            assert "dp" in mesh.axis_names, "executor mesh needs a dp axis"
+            self._sharded_step = self._build_sharded_step()
 
     # ------------------------------------------------------------- compile
     def _compile(self, prog: LutProgram) -> None:
@@ -162,6 +177,60 @@ class CircuitExecutor:
                     "wire", np.asarray([wire_row[node.name]], np.int32),
                     np.asarray([1], np.int32), 0)
 
+    # ------------------------------------------------------------- sharding
+    def _buf_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(self.mesh, P(None, "dp"))
+
+    def _build_sharded_step(self):
+        """One jitted mesh-sharded level step (see ``__init__`` docstring)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        mesh, keys, fast = self.mesh, self.keys, self.fast_keys
+        buf_sharding = self._buf_sharding()
+
+        if fast is not None and fast.orientation == "matmul":
+            # GSPMD path: dp-sharded batch, tp-sharded key contraction.
+            from ..parallel.mesh import shard_fast_keys
+            self.fast_keys = fast = shard_fast_keys(mesh, fast)
+
+            @jax.jit
+            def step(buf, *plan):
+                return _level_step(keys, fast, buf, *plan)
+
+            return step
+
+        # fused / fused_otf / conv / generic: shard_map over dp with the
+        # plan and keys replicated.  tp (if present in the mesh) is left
+        # unmapped — these orientations have no sharded contraction.
+        if fast is not None:
+            from ..ops.blind_rotate import FastKeys
+            key_args = (fast.bsk_kernels, fast.ksk_limbs)
+            orientation = fast.orientation
+
+            def local(bsk, ksk, buf, *plan):
+                fk = FastKeys(keys.params, bsk, ksk, orientation)
+                return _level_step(keys, fk, buf, *plan)
+        else:
+            key_args = (keys.bsk, keys.ksk)
+
+            def local(bsk, ksk, buf, *plan):
+                k = TFHEKeys(params=keys.params, lwe_key=None,
+                             glwe_key=None, bsk=bsk, ksk=ksk)
+                return _level_step(k, None, buf, *plan)
+
+        mapped = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(None, "dp")) + (P(),) * 6,
+            out_specs=P(None, "dp"), check_vma=False)
+        jitted = jax.jit(mapped, out_shardings=buf_sharding)
+
+        def step(buf, *plan):
+            return jitted(*key_args, buf, *plan)
+
+        return step
+
     # ---------------------------------------------------------------- run
     def encrypt_inputs(self, values: dict[str, np.ndarray],
                        rng: np.random.Generator) -> jnp.ndarray:
@@ -182,6 +251,12 @@ class CircuitExecutor:
             # device-side scatter — reading the ciphertexts back to host
             # costs ~MB/s over the tunneled backend
             buf = buf.at[rows].set(cts)
+        if self.mesh is not None:
+            import jax
+            dp = self.mesh.shape["dp"]
+            assert v % dp == 0, \
+                f"batch {v} must be divisible by the dp axis ({dp})"
+            buf = jax.device_put(buf, self._buf_sharding())
         return buf
 
     def run(self, buf: jnp.ndarray, checkpoint: str | None = None,
@@ -204,18 +279,25 @@ class CircuitExecutor:
                             and z["buf"].shape == tuple(buf.shape):
                         start = int(z["level"]) + 1
                         buf = jnp.asarray(z["buf"])
+                        if self.mesh is not None:
+                            import jax
+                            buf = jax.device_put(buf, self._buf_sharding())
             except FileNotFoundError:
                 pass
+        step = self._sharded_step
         for lv, plan in enumerate(self.levels):
             if lv < start:
                 continue
-            buf = _level_step(self.keys, self.fast_keys, buf,
-                              jnp.asarray(plan.wire_idx),
-                              jnp.asarray(plan.coefs),
-                              jnp.asarray(plan.consts),
-                              jnp.asarray(plan.test_polys),
-                              jnp.asarray(plan.posts),
-                              jnp.asarray(plan.out_rows))
+            plan_args = (jnp.asarray(plan.wire_idx),
+                         jnp.asarray(plan.coefs),
+                         jnp.asarray(plan.consts),
+                         jnp.asarray(plan.test_polys),
+                         jnp.asarray(plan.posts),
+                         jnp.asarray(plan.out_rows))
+            if step is not None:
+                buf = step(buf, *plan_args)
+            else:
+                buf = _level_step(self.keys, self.fast_keys, buf, *plan_args)
             if checkpoint is not None \
                     and (lv + 1) % checkpoint_every == 0 \
                     and lv + 1 < len(self.levels):
@@ -267,21 +349,25 @@ class CircuitExecutor:
 
 def _level_step(keys: TFHEKeys, fast_keys, buf, wire_idx, coefs, consts,
                 tvs, posts, out_rows):
-    """One level: fused lincombs + one batched FBS + scatter of results."""
+    """One level: fused lincombs + one batched FBS + scatter of results.
+
+    The kernel batch is flattened V-major so a dp-sharded V axis stays the
+    leading (sharded) axis of the bootstrap batch — no cross-shard
+    data movement when the executor runs under a mesh."""
     nb, t_max = wire_idx.shape
     _, v, d = buf.shape
     gathered = buf[wire_idx]                              # [nb, T, V, d]
     lin = jnp.einsum("nt,ntvd->nvd", coefs, gathered,
                      preferred_element_type=I32)
     lin = lin.at[:, :, -1].add(consts[:, None])
-    flat = lin.reshape(nb * v, d)
-    tvs_flat = jnp.repeat(tvs, v, axis=0)
-    posts_flat = jnp.repeat(posts, v, axis=0)
+    flat = jnp.transpose(lin, (1, 0, 2)).reshape(v * nb, d)
+    tvs_flat = jnp.tile(tvs, (v, 1))
+    posts_flat = jnp.tile(posts, (v,))
     if fast_keys is not None:
         from ..ops.blind_rotate import functional_bootstrap_fast
         fresh = functional_bootstrap_fast(fast_keys, flat, tvs_flat,
                                           posts_flat)
     else:
         fresh = functional_bootstrap(keys, flat, tvs_flat, posts_flat)
-    fresh = fresh.reshape(nb, v, d)
+    fresh = jnp.transpose(fresh.reshape(v, nb, d), (1, 0, 2))
     return buf.at[out_rows].set(fresh)
