@@ -27,6 +27,21 @@ AUTOHOG_ISCAS85 = {
     "c3540": (21.82, 5.6), "c7552": (45.81, 8.06),
 }
 
+# AutoHoG paper Table IV (ISCAS89; TFHE-baseline / AutoHoG seconds),
+# reference analyse_results.py:215-244 — 27 circuits
+AUTOHOG_ISCAS89 = {
+    "s27": (0.14, 0.11), "s298": (2.06, 0.60), "s344": (1.77, 0.58),
+    "s349": (1.87, 0.67), "s382": (2.50, 0.56), "s386": (3.16, 0.54),
+    "s400": (2.60, 0.55), "s420": (2.76, 0.94), "s444": (2.84, 0.60),
+    "s510": (3.50, 1.02), "s526": (4.32, 1.03), "s641": (2.67, 1.25),
+    "s713": (3.40, 1.39), "s820": (7.12, 1.50), "s832": (7.71, 1.61),
+    "s838": (5.68, 1.89), "s953": (5.93, 1.69), "s1196": (6.44, 1.55),
+    "s1238": (6.62, 1.81), "s1423": (8.40, 2.79), "s1488": (12.66, 1.70),
+    "s5378": (23.15, 3.15), "s9234": (40.25, 11.18),
+    "s13207": (53.28, 22.84), "s15850": (66.71, 30.11),
+    "s35932": (209.56, 65.69), "s38584": (231.75, 92.21),
+}
+
 # Bon et al. comparison targets (generated suite),
 # reference analyse_results.py:342-353
 BON_ET_AL = {
@@ -54,6 +69,79 @@ def best_configs(rows: list[dict]) -> dict[str, dict]:
                              or cost < float(best[b]["total_cost"])):
             best[b] = r
     return best
+
+
+def mapper_vs_basic_table(rows: list[dict], latex: bool) -> None:
+    """Reference f2/f2b (analyse_results.py:27-144): per bench and per
+    mapper flavor (naive, search), the best-total_cost config with cost and
+    #bootstraps expressed relative to the ``basic`` (bootstrap-every-gate)
+    baseline, plus the chosen 'p (max_lut)'.  Basic counts as a candidate
+    for each flavor (the reference concatenates basic rows into naive,
+    :121-123), so a flavor never looks worse than the baseline."""
+    base: dict[str, dict] = {}
+    for r in rows:
+        if r["mapper"] == "basic":
+            base[r["bench"]] = r
+    flavors = sorted({r["mapper"] for r in rows} - {"basic"})
+    if not base or not flavors:
+        return
+
+    def best_for(bench: str, flavor: str) -> dict | None:
+        cands = [r for r in rows if r["bench"] == bench
+                 and r["mapper"] in (flavor, "basic")]
+        cands = [r for r in cands
+                 if r.get("total_cost") not in (None, "", "nan")]
+        return min(cands, key=lambda r: float(r["total_cost"]),
+                   default=None)
+
+    hdr = ["bench"]
+    for f in flavors:
+        hdr += [f"{f}_cost_%", f"{f}_boots_%", f"{f}_p(lut)"]
+    print("\n### best config vs basic baseline (cost/boots deltas, %)")
+    sep = " & " if latex else " | "
+    eol = r" \\" if latex else " |"
+    lead = "" if latex else "| "
+    print(lead + sep.join(hdr) + eol)
+    if not latex:
+        print("|" + "---|" * len(hdr))
+    for bench in sorted(base):
+        b = base[bench]
+        cells = [bench]
+        for f in flavors:
+            r = best_for(bench, f)
+            if r is None:
+                cells += ["-", "-", "-"]
+                continue
+            dc = (float(r["total_cost"]) / float(b["total_cost"]) - 1) * 100
+            db = (int(r["nb_bootstrap"]) / int(b["nb_bootstrap"]) - 1) * 100
+            cells += [f"{dc:.0f}%", f"{db:.0f}%",
+                      f"{r['fbs_size']} ({r['max_lut_size']})"]
+        print(lead + sep.join(cells) + eol)
+
+
+def per_gate_time_stats(rows: list[dict]) -> None:
+    """Reference f1 (analyse_results.py:16-25): map time divided by the
+    source gate count.  Gate count proxy = the basic mapper's nb_bootstrap
+    (basic bootstraps every gate), exactly as the reference does."""
+    gates = {r["bench"]: int(r["nb_bootstrap"]) for r in rows
+             if r["mapper"] == "basic"}
+    per_mapper: dict[str, list[float]] = defaultdict(list)
+    for r in rows:
+        if r["mapper"] == "basic" or r["bench"] not in gates:
+            continue
+        try:
+            per_mapper[r["mapper"]].append(
+                float(r["time"]) / gates[r["bench"]] * 1000.0)
+        except (KeyError, ValueError, ZeroDivisionError):
+            pass
+    if not per_mapper:
+        return
+    print("\n### map time per source gate (ms)")
+    for m, ts in sorted(per_mapper.items()):
+        ts.sort()
+        mean = sum(ts) / len(ts)
+        print(f"- {m}: mean {mean:.3f} median {ts[len(ts)//2]:.3f} "
+              f"min {ts[0]:.3f} max {ts[-1]:.3f} over {len(ts)} runs")
 
 
 def plot_suite(rows: list[dict], stem: str, out_dir: Path) -> None:
@@ -126,19 +214,26 @@ def main() -> int:
                 print("| " + " | ".join(map(str, cells)) + " |")
 
         # AutoHoG comparison where applicable (reference
-        # analyse_results.py:171-183 — their numbers are CPU evaluation
-        # seconds; ours are TPU-roofline estimates for the best config)
-        auto = {b: r for b, r in best.items() if b in AUTOHOG_ISCAS85}
-        if auto:
-            print("\n### vs AutoHoG (ISCAS85; seconds per evaluation)")
-            for b, r in sorted(auto.items()):
-                base_s, autohog_s = AUTOHOG_ISCAS85[b]
+        # analyse_results.py:171-183 Fig.7 ISCAS85 + :215-244 Table IV
+        # ISCAS89 — their numbers are CPU evaluation seconds; ours are
+        # TPU-roofline estimates for the best config)
+        for label, table in (("ISCAS85", AUTOHOG_ISCAS85),
+                             ("ISCAS89", AUTOHOG_ISCAS89)):
+            auto = {b: r for b, r in best.items() if b in table}
+            if not auto:
+                continue
+            print(f"\n### vs AutoHoG ({label}; seconds per evaluation, "
+                  "speedup = TFHE-baseline / X)")
+            for b in sorted(auto, key=lambda b: int(b[1:])):
+                r = auto[b]
+                base_s, autohog_s = table[b]
                 try:
                     ours_s = float(r["total_cost"]) * 1e-6
                 except ValueError:
                     continue
-                print(f"- {b}: ours (est) {ours_s:.4f}s vs TFHE-baseline "
-                      f"{base_s}s / AutoHoG {autohog_s}s")
+                print(f"- {b}: ours (est) {ours_s:.4f}s "
+                      f"({base_s / ours_s:.2f}x) vs AutoHoG {autohog_s}s "
+                      f"({base_s / autohog_s:.2f}x); TFHE-baseline {base_s}s")
 
         # Bon et al. comparison where applicable
         printed_header = False
@@ -156,7 +251,10 @@ def main() -> int:
                   f"(norm2 {m['norm2_linprod']}) vs Bon et al. "
                   f"{ref['nb_fbs']} FBS, cost/FBS {ref['cost_per_fbs']}")
 
-        # map-time-per-gate stats (reference f1, analyse_results.py:16-25)
+        # naive/search-vs-basic best-config tables (reference f2/f2b)
+        mapper_vs_basic_table(rows, args.latex)
+
+        # map-time stats: raw and per source gate (reference f1)
         by_mapper = defaultdict(list)
         for r in rows:
             try:
@@ -167,6 +265,7 @@ def main() -> int:
         for m, ts in sorted(by_mapper.items()):
             print(f"- {m}: mean {sum(ts)/len(ts):.3f} "
                   f"min {min(ts):.3f} max {max(ts):.3f} over {len(ts)} runs")
+        per_gate_time_stats(rows)
 
         if args.plots:
             try:

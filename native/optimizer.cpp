@@ -49,10 +49,24 @@ double var_modswitch(int n, int N) {
   return w * w * (1.0 + n / 2.0) / 12.0;
 }
 
+// BSK limb-drop quantization noise: error on the raw key values, so the
+// GGSW mask-part error is multiplied by the secret key at decryption —
+// the (1 + kN/2) amplification (see optimizer/noise.py, calibrated).
+double var_bsk_quantization(int n, int k, int N, int l, int base_log,
+                            int dropped_limbs) {
+  if (dropped_limbs == 0) return 0.0;
+  double b = double(1u << base_log);
+  double err_w = std::pow(2.0, 8.0 * dropped_limbs);
+  double per_product = ((b * b) / 12.0) * (err_w * err_w / 12.0);
+  double mask_amp = 1.0 + double(k) * N / 2.0;
+  return double(n) * l * (k + 1) * N * per_product * mask_amp;
+}
+
 double p_error_atomic(int p, double sq_norm2, int n, int k, int N, int br_l,
                       int br_b, int ks_l, int ks_b, double lwe_std,
-                      double glwe_std) {
-  double v_wire = var_blind_rotate(n, k, N, br_l, br_b, glwe_std);
+                      double glwe_std, int dropped_limbs) {
+  double v_wire = var_blind_rotate(n, k, N, br_l, br_b, glwe_std) +
+                  var_bsk_quantization(n, k, N, br_l, br_b, dropped_limbs);
   double v_total = sq_norm2 * v_wire + var_keyswitch(k, N, ks_l, ks_b, lwe_std) +
                    var_modswitch(n, N);
   double sigma = std::sqrt(v_total);
@@ -69,10 +83,13 @@ constexpr double MXU_EFF_FUSED = 0.65;
 constexpr double MXU_EFF_OTF = 0.45;
 constexpr double MATMUL_HBM_BUDGET = 12e9;
 
-double bootstrap_cost_us(int n, int k, int N, int br_l, int ks_l) {
-  double mat_bytes = double(n) * 4.0 * (k + 1) * br_l * N * (k + 1) * N;
+double bootstrap_cost_us(int n, int k, int N, int br_l, int ks_l,
+                         int bsk_limbs) {
+  double mat_bytes =
+      double(n) * bsk_limbs * (k + 1) * br_l * N * (k + 1) * N;
   double eff = mat_bytes <= MATMUL_HBM_BUDGET ? MXU_EFF_FUSED : MXU_EFF_OTF;
-  double br_macs = double(n) * (k + 1) * (k + 1) * br_l * N * N * 4.0;
+  double br_macs =
+      double(n) * (k + 1) * (k + 1) * br_l * N * N * double(bsk_limbs);
   double ks_macs = double(k) * N * ks_l * (n + 1) * 4.0;
   double compute_s = 2.0 * (br_macs + ks_macs) / (MXU_INT8_OPS * eff);
   double acc_bytes = double(n) * 3.0 * (k + 1) * N * 4.0;
@@ -84,11 +101,40 @@ double bootstrap_cost_us(int n, int k, int N, int br_l, int ks_l) {
 
 extern "C" {
 
+// Individual model functions, exported so the lockstep test can compare
+// them pointwise against optimizer/noise.py (not just optimize() outcomes,
+// where a compensating-error pair could hide).
+double nv_var_blind_rotate(int32_t n, int32_t k, int32_t N, int32_t l,
+                           int32_t base_log, double glwe_std) {
+  return var_blind_rotate(n, k, N, l, base_log, glwe_std);
+}
+double nv_var_keyswitch(int32_t k, int32_t N, int32_t l, int32_t base_log,
+                        double lwe_std) {
+  return var_keyswitch(k, N, l, base_log, lwe_std);
+}
+double nv_var_modswitch(int32_t n, int32_t N) { return var_modswitch(n, N); }
+double nv_var_bsk_quantization(int32_t n, int32_t k, int32_t N, int32_t l,
+                               int32_t base_log, int32_t dropped_limbs) {
+  return var_bsk_quantization(n, k, N, l, base_log, dropped_limbs);
+}
+double nv_p_error_atomic(int32_t p, double sq_norm2, int32_t n, int32_t k,
+                         int32_t N, int32_t br_l, int32_t br_b, int32_t ks_l,
+                         int32_t ks_b, double lwe_std, double glwe_std,
+                         int32_t dropped_limbs) {
+  return p_error_atomic(p, sq_norm2, n, k, N, br_l, br_b, ks_l, ks_b,
+                        lwe_std, glwe_std, dropped_limbs);
+}
+double nv_bootstrap_cost_us(int32_t n, int32_t k, int32_t N, int32_t br_l,
+                            int32_t ks_l, int32_t bsk_limbs) {
+  return bootstrap_cost_us(n, k, N, br_l, ks_l, bsk_limbs);
+}
+
 struct Solution {
   int32_t lwe_dim, glwe_dim, poly_size;
   int32_t bsk_level, bsk_base_log, ksk_level, ksk_base_log;
   double lwe_noise_std, glwe_noise_std;
   double cost_us, p_error;
+  int32_t bsk_limbs;
 };
 
 // Returns 1 and fills *out on success, 0 if no parameter set meets the
@@ -100,6 +146,8 @@ int32_t optimize_params(int32_t p, double sq_norm2, double max_p_error,
                                        {2, 2048}, {1, 4096}};
   // int8 digits (fast path) need base <= 2^8; generic fallback goes wider
   const int max_base = fast_path_only ? 8 : 12;
+  // limb-drop quantization is a fast-path key layout knob only
+  const int max_drop = fast_path_only ? 1 : 0;
   bool found = false;
   double best_cost = 1e300;
 
@@ -115,24 +163,29 @@ int32_t optimize_params(int32_t p, double sq_norm2, double max_p_error,
           for (int ks_b = 2; ks_b <= max_base; ++ks_b) {
             for (int ks_l = 1; ks_l <= 8; ++ks_l) {
               if (ks_b * ks_l > 32) continue;
-              double cost = bootstrap_cost_us(n, k, N, br_l, ks_l);
-              if (found && cost >= best_cost) continue;
-              double perr = p_error_atomic(p, sq_norm2, n, k, N, br_l, br_b,
-                                           ks_l, ks_b, lwe_std, glwe_std);
-              if (perr > max_p_error) continue;
-              found = true;
-              best_cost = cost;
-              out->lwe_dim = n;
-              out->glwe_dim = k;
-              out->poly_size = N;
-              out->bsk_level = br_l;
-              out->bsk_base_log = br_b;
-              out->ksk_level = ks_l;
-              out->ksk_base_log = ks_b;
-              out->lwe_noise_std = lwe_std;
-              out->glwe_noise_std = glwe_std;
-              out->cost_us = cost;
-              out->p_error = perr;
+              for (int drop = 0; drop <= max_drop; ++drop) {
+                double cost = bootstrap_cost_us(n, k, N, br_l, ks_l,
+                                                4 - drop);
+                if (found && cost >= best_cost) continue;
+                double perr =
+                    p_error_atomic(p, sq_norm2, n, k, N, br_l, br_b, ks_l,
+                                   ks_b, lwe_std, glwe_std, drop);
+                if (perr > max_p_error) continue;
+                found = true;
+                best_cost = cost;
+                out->lwe_dim = n;
+                out->glwe_dim = k;
+                out->poly_size = N;
+                out->bsk_level = br_l;
+                out->bsk_base_log = br_b;
+                out->ksk_level = ks_l;
+                out->ksk_base_log = ks_b;
+                out->lwe_noise_std = lwe_std;
+                out->glwe_noise_std = glwe_std;
+                out->cost_us = cost;
+                out->p_error = perr;
+                out->bsk_limbs = 4 - drop;
+              }
             }
           }
         }

@@ -5,6 +5,7 @@ import pytest
 
 from tfhe_fbs_map_tpu.optimizer import (P_ERROR_4_SIGMA, optimize,
                                         p_error_atomic)
+from tfhe_fbs_map_tpu.optimizer.optimizer import bootstrap_cost_us
 from tfhe_fbs_map_tpu.tfhe.params import (DEFAULT_PARAMS, min_noise_std_rel,
                                           Q)
 
@@ -46,6 +47,52 @@ def test_default_params_close_to_model():
                           pr.ksk_base_log, pr.lwe_noise_std,
                           pr.glwe_noise_std)
     assert perr < 1e-3
+
+
+def test_bsk_quantization_predicts_r1_rejection():
+    """The noise model must *predict* the empirical r1 result: 3-limb BSK
+    at the matmul bench anchor (n=630, k=2, N=512, l=2, b=8) produced
+    63/512 errors (p_error ≈ 0.123, PERF.md "rejected" row).  With the
+    mask-amplified quantization term the model lands on ≈ 0.12; without
+    dropped limbs the same parameters are comfortably under target."""
+    kw = dict(p=4, sq_norm2=1, n=630, k=2, N=512, br_l=2, br_b=8,
+              ks_l=5, ks_b=3, lwe_noise_std=2.0 ** 17,
+              glwe_noise_std=2.0 ** 7)
+    exact = p_error_atomic(**kw)
+    quant = p_error_atomic(**kw, dropped_limbs=1)
+    assert exact < P_ERROR_4_SIGMA
+    assert quant > P_ERROR_4_SIGMA          # the optimizer must reject it
+    assert 0.05 < quant < 0.25, quant       # and land near the observed rate
+
+
+def test_optimize_quantized_bsk_only_when_safe():
+    """optimize() may pick bsk_limbs=3 (cheaper) but only when the modeled
+    p_error with the quantization term still meets the target."""
+    for p, norm2 in ((2, 1), (4, 4), (8, 16)):
+        sol = optimize(p, norm2)
+        assert sol is not None
+        assert sol.bsk_limbs in (3, 4)
+        assert sol.p_error <= P_ERROR_4_SIGMA
+        if sol.bsk_limbs == 3:
+            pr = sol.params
+            full = bootstrap_cost_us(pr.lwe_dim, pr.glwe_dim, pr.poly_size,
+                                     pr.bsk_level, pr.ksk_level, 4)
+            assert sol.cost < full
+
+
+def test_cost_model_matches_measured_anchors():
+    """Roofline realism (VERDICT r1 item 10): bootstrap_cost_us within 40%
+    of the r1 measured points (PERF.md: fused anchor 0.089 ms; fused_otf
+    presets p8 0.24 ms / p16 0.75 ms / p32 1.84 ms)."""
+    measured = [
+        ((630, 2, 512, 2, 5), 89.0),     # fused anchor, l=2 b=8
+        ((610, 2, 512, 3, 6), 240.0),    # p8 preset (fused_otf)
+        ((642, 2, 1024, 3, 7), 750.0),   # p16 preset
+        ((706, 1, 2048, 3, 8), 1840.0),  # p32 preset
+    ]
+    for args, us in measured:
+        model = bootstrap_cost_us(*args)
+        assert 0.6 < model / us < 1.4, (args, model, us)
 
 
 def test_cli_contract():

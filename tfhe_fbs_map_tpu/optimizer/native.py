@@ -32,6 +32,7 @@ class _CSolution(ctypes.Structure):
         ("lwe_noise_std", ctypes.c_double),
         ("glwe_noise_std", ctypes.c_double),
         ("cost_us", ctypes.c_double), ("p_error", ctypes.c_double),
+        ("bsk_limbs", ctypes.c_int32),
     ]
 
 
@@ -48,7 +49,29 @@ def _load():
     _lib.optimize_params.argtypes = [
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_int32,
         ctypes.POINTER(_CSolution)]
+    i32, f64 = ctypes.c_int32, ctypes.c_double
+    for name, argtypes in {
+        "nv_var_blind_rotate": [i32, i32, i32, i32, i32, f64],
+        "nv_var_keyswitch": [i32, i32, i32, i32, f64],
+        "nv_var_modswitch": [i32, i32],
+        "nv_var_bsk_quantization": [i32, i32, i32, i32, i32, i32],
+        "nv_p_error_atomic": [i32, f64, i32, i32, i32, i32, i32, i32, i32,
+                              f64, f64, i32],
+        "nv_bootstrap_cost_us": [i32, i32, i32, i32, i32, i32],
+    }.items():
+        fn = getattr(_lib, name)
+        fn.restype = f64
+        fn.argtypes = argtypes
     return _lib
+
+
+def native_model_fns():
+    """The individual native model functions (for the lockstep tests)."""
+    lib = _load()
+    return {n: getattr(lib, n) for n in (
+        "nv_var_blind_rotate", "nv_var_keyswitch", "nv_var_modswitch",
+        "nv_var_bsk_quantization", "nv_p_error_atomic",
+        "nv_bootstrap_cost_us")}
 
 
 def native_available() -> bool:
@@ -80,4 +103,5 @@ def optimize_native(p: int, sq_norm2: float, max_p_error: float,
         bsk_base_log=out.bsk_base_log, ksk_level=out.ksk_level,
         ksk_base_log=out.ksk_base_log, lwe_noise_std=out.lwe_noise_std,
         glwe_noise_std=out.glwe_noise_std)
-    return Solution(params, out.cost_us * slowdown, out.p_error)
+    return Solution(params, out.cost_us * slowdown, out.p_error,
+                    out.bsk_limbs)

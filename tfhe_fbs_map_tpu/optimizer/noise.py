@@ -46,15 +46,22 @@ def var_modswitch(n: int, N: int) -> float:
 
 def p_error_atomic(p: int, sq_norm2: float, n: int, k: int, N: int,
                    br_l: int, br_b: int, ks_l: int, ks_b: int,
-                   lwe_noise_std: float, glwe_noise_std: float) -> float:
+                   lwe_noise_std: float, glwe_noise_std: float,
+                   dropped_limbs: int = 0) -> float:
     """Per-bootstrap error probability of the full atomic pattern.
 
     The decision happens at blind-rotate window resolution: total input
     noise (amplified bootstrap outputs + keyswitch + modswitch) must stay
     within the half-window q/(4p) — the absolute-precision bound of the
     reference's concrete patch (``fatal_variance_limit_abs``).
+
+    ``dropped_limbs``: BSK limb-drop quantization of the fast-path key
+    matrices (ops/blind_rotate.py ``bsk_limbs = 4 - dropped_limbs``); its
+    error lives on the bootstrap output wire and is amplified by the
+    lincomb like any other wire noise.
     """
-    v_wire = var_blind_rotate(n, k, N, br_l, br_b, glwe_noise_std)
+    v_wire = (var_blind_rotate(n, k, N, br_l, br_b, glwe_noise_std)
+              + var_bsk_quantization(n, k, N, br_l, br_b, dropped_limbs))
     v_total = (sq_norm2 * v_wire
                + var_keyswitch(k, N, ks_l, ks_b, lwe_noise_std)
                + var_modswitch(n, N))
@@ -69,13 +76,25 @@ def var_bsk_quantization(n: int, k: int, N: int, l: int, base_log: int,
                          dropped_limbs: int) -> float:
     """Extra variance from dropping the low ``dropped_limbs`` 8-bit limbs of
     the precomputed bootstrapping-key matrices (ops/blind_rotate.py
-    ``bsk_limbs``): per blind-rotate step, each of the (k+1)·l·N digit
-    products picks up a uniform error of width 2^(8·drop)."""
+    ``bsk_limbs``).
+
+    Per blind-rotate step, each of the (k+1)·l·N digit products picks up a
+    balanced error of width 2^(8·drop).  Unlike regular GGSW noise, this
+    error sits on the raw key *values* — the error landing in the GGSW
+    mask components is multiplied by the secret key at decryption, so the
+    per-product variance is amplified by (1 + k·N/2) (k·N mask coefficients
+    × E[s²] = 1/2 for binary keys).  Calibrated against measurement:
+    predicted variance is within 15% of the measured quantized-vs-exact
+    phase error at n ∈ {16, 32}, k=2, N=512, l=2, b=8, and predicts
+    p_error ≈ 0.12 at the r1 bench anchor where 63/512 errors were
+    observed (PERF.md "3-limb quantized BSK — rejected")."""
     if dropped_limbs == 0:
         return 0.0
     b = float(1 << base_log)
     err_w = float(1 << (8 * dropped_limbs))
-    return n * l * (k + 1) * N * ((b * b) / 12.0) * (err_w * err_w / 12.0)
+    per_product = ((b * b) / 12.0) * (err_w * err_w / 12.0)
+    mask_amp = 1.0 + k * N / 2.0
+    return n * l * (k + 1) * N * per_product * mask_amp
 
 
 # 4-sigma default target, as in the reference pipeline

@@ -46,19 +46,22 @@ class Solution:
     params: TFHEParams
     cost: float                # microseconds per bootstrap (batch-amortized)
     p_error: float
+    bsk_limbs: int = 4         # < 4: limb-dropped (quantized) BSK matrices
 
 
-def bootstrap_cost_us(n: int, k: int, N: int, br_l: int, ks_l: int) -> float:
+def bootstrap_cost_us(n: int, k: int, N: int, br_l: int, ks_l: int,
+                      bsk_limbs: int = 4) -> float:
     """Roofline model: µs per bootstrap at large batch.
 
     Key matrices that fit the HBM budget stream from HBM (orientation
     "fused"); larger sets rebuild negacyclic tiles in VMEM (orientation
-    "fused_otf") at a lower measured MXU utilization.
+    "fused_otf") at a lower measured MXU utilization.  ``bsk_limbs`` < 4
+    (quantized BSK) removes the dropped limbs' MACs and bytes.
     """
-    mat_bytes = n * 4.0 * (k + 1) * br_l * N * (k + 1) * N
+    mat_bytes = n * float(bsk_limbs) * (k + 1) * br_l * N * (k + 1) * N
     eff = MXU_EFF_FUSED if mat_bytes <= MATMUL_HBM_BUDGET else MXU_EFF_OTF
-    # blind rotate: n conv steps of rows x N x (k+1) x N MACs x 4 limbs
-    br_macs = n * (k + 1) ** 2 * br_l * N * N * 4
+    # blind rotate: n conv steps of rows x N x (k+1) x N MACs per kept limb
+    br_macs = n * (k + 1) ** 2 * br_l * N * N * bsk_limbs
     # keyswitch: kN*l x (n+1) matmul x 4 limbs
     ks_macs = k * N * ks_l * (n + 1) * 4
     compute_s = 2.0 * (br_macs + ks_macs) / (MXU_INT8_OPS * eff)
@@ -100,6 +103,10 @@ def _optimize_inner(p: int, sq_norm2: float, max_p_error: float,
     # gather-based fallback can use wider digits
     max_base = 8 if fast_path_only else 12
 
+    # BSK limb-drop quantization is a fast-path (matmul/fused) key layout
+    # knob: the generic gather path always uses exact keys
+    drops = (0, 1) if fast_path_only else (0,)
+
     for k, N in glwe_shapes:
         if N < 2 * p:        # need at least one poly coeff per half-window
             continue
@@ -114,21 +121,24 @@ def _optimize_inner(p: int, sq_norm2: float, max_p_error: float,
                         for ks_l in range(1, 9):
                             if ks_b * ks_l > 32:
                                 continue
-                            cost = bootstrap_cost_us(n, k, N, br_l, ks_l)
-                            if best is not None and cost >= best.cost:
-                                continue
-                            perr = p_error_atomic(
-                                p, sq_norm2, n, k, N, br_l, br_b, ks_l,
-                                ks_b, lwe_std, glwe_std)
-                            if perr > max_p_error:
-                                continue
-                            params = TFHEParams(
-                                p=p, lwe_dim=n, glwe_dim=k, poly_size=N,
-                                bsk_level=br_l, bsk_base_log=br_b,
-                                ksk_level=ks_l, ksk_base_log=ks_b,
-                                lwe_noise_std=lwe_std,
-                                glwe_noise_std=glwe_std)
-                            best = Solution(params, cost, perr)
+                            for drop in drops:
+                                cost = bootstrap_cost_us(n, k, N, br_l,
+                                                         ks_l, 4 - drop)
+                                if best is not None and cost >= best.cost:
+                                    continue
+                                perr = p_error_atomic(
+                                    p, sq_norm2, n, k, N, br_l, br_b, ks_l,
+                                    ks_b, lwe_std, glwe_std,
+                                    dropped_limbs=drop)
+                                if perr > max_p_error:
+                                    continue
+                                params = TFHEParams(
+                                    p=p, lwe_dim=n, glwe_dim=k, poly_size=N,
+                                    bsk_level=br_l, bsk_base_log=br_b,
+                                    ksk_level=ks_l, ksk_base_log=ks_b,
+                                    lwe_noise_std=lwe_std,
+                                    glwe_noise_std=glwe_std)
+                                best = Solution(params, cost, perr, 4 - drop)
     return best
 
 

@@ -96,6 +96,7 @@ def main(argv=None) -> int:
     print(f"# program: {stats} (p={p_needed})", file=sys.stderr)
 
     # --- keys -----------------------------------------------------------
+    bsk_limbs = 4
     if args.keys:
         keys = load_keys(args.keys)
     else:
@@ -109,7 +110,9 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 return 1
             params = sol.params
-            print(f"# params: {params}", file=sys.stderr)
+            bsk_limbs = sol.bsk_limbs  # optimizer-validated quantized BSK
+            print(f"# params: {params} (bsk_limbs={bsk_limbs})",
+                  file=sys.stderr)
         t0 = time.time()
         keys = generate_keys(params, seed=args.seed)
         print(f"# keygen: {time.time() - t0:.1f}s", file=sys.stderr)
@@ -143,7 +146,9 @@ def main(argv=None) -> int:
                 orient = "fused_otf"
         if orient:
             t0 = time.time()
-            fast = prepare_fast_keys(keys, orientation=orient)
+            kw = ({"bsk_limbs": bsk_limbs}
+                  if orient in ("matmul", "fused", "fused_otf") else {})
+            fast = prepare_fast_keys(keys, orientation=orient, **kw)
             print(f"# fast keys ({orient}): {time.time() - t0:.1f}s",
                   file=sys.stderr)
 
