@@ -42,6 +42,10 @@ SWEEPS = {
 }
 SUITE_FORMAT = {"generated": "blif", "epfl": "blif", "iscas85": "bench",
                 "iscas89": "bench", "bristol": "bristol"}
+# The reference preprocesses ISCAS85 with abc genlib map/unmap into an
+# optimized XAG (gen_makefile_iscas85.bash:41); the equivalent here is the
+# in-repo AIG pass (frontend/opt.py) via the CLI --opt flag.
+SUITE_OPT = {"iscas85"}
 
 
 def ensure_generated(bench_dir: Path) -> None:
@@ -58,24 +62,40 @@ def ensure_generated(bench_dir: Path) -> None:
             circ.to_blif(fs=f, model_name=name)
 
 
+def ensure_epfl(bench_dir: Path) -> None:
+    """Regenerate the arithmetic EPFL members from their functional specs
+    when the original netlists are not vendored (no egress) — see
+    circuits/generators.py EPFL_GENERATORS for the caveats."""
+    from tfhe_fbs_map_tpu.frontend.circuits import EPFL_GENERATORS
+    bench_dir.mkdir(parents=True, exist_ok=True)
+    if list(bench_dir.glob("*.blif")):
+        return  # real (fetched) EPFL netlists take precedence
+    for name, gen in EPFL_GENERATORS.items():
+        circ = gen()
+        circ.remove_dangling_nodes()
+        with open(bench_dir / f"{name}.blif", "w") as f:
+            circ.to_blif(fs=f, model_name=name)
+
+
 def configs_for(suite: str, bench_files: list[Path], out_dir: Path,
                 timeout: float = 3600):
     sizes, with_basic = SWEEPS[suite]
     fmt = SUITE_FORMAT[suite]
+    opt = suite in SUITE_OPT
     for bench in bench_files:
         stem = bench.stem
         if with_basic:
             yield (bench, fmt, 2, "basic",
-                   out_dir / f"{stem}_2_basic.log", timeout)
+                   out_dir / f"{stem}_2_basic.log", timeout, opt)
         for p in sizes:
             for mapper in ("naive", "search") if suite == "epfl" \
                     else ("search",):
                 yield (bench, fmt, p, mapper,
-                       out_dir / f"{stem}_{p}_{mapper}.log", timeout)
+                       out_dir / f"{stem}_{p}_{mapper}.log", timeout, opt)
 
 
 def run_one(cfg) -> str:
-    bench, fmt, p, mapper, log, timeout = cfg
+    bench, fmt, p, mapper, log, timeout, opt = cfg
     if log.exists():
         return f"skip {log.name}"
     cmd = [sys.executable, "-m", "tfhe_fbs_map_tpu.frontend.cli",
@@ -83,6 +103,8 @@ def run_one(cfg) -> str:
            "--mapper", mapper,
            "--output", str(log.with_suffix(".fbs")),
            "--output_lbf", str(log.with_suffix(".lbf"))]
+    if opt:
+        cmd.append("--opt")
     with open(log, "w") as f:
         try:
             subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
@@ -164,6 +186,8 @@ def main() -> int:
 
     if args.suite == "generated":
         ensure_generated(bench_dir)
+    if args.suite == "epfl":
+        ensure_epfl(bench_dir)
     if not bench_dir.exists():
         print(f"no benchmarks at {bench_dir}; run "
               f"experiments/fetch_benchmarks.sh first", file=sys.stderr)

@@ -1,0 +1,94 @@
+"""EPFL-style regenerated arithmetic benchmarks (functional equivalents of
+the suite the reference fetches over the network, gen_makefile_epfl.bash:7)."""
+
+import numpy as np
+import pytest
+
+from tfhe_fbs_map_tpu.frontend.circuits import EPFL_GENERATORS
+
+V = 32
+W = 128
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(11)
+
+
+def _word(vals, prefix, width):
+    return sum(np.asarray(vals[f"{prefix}{i}"], dtype=object) << i
+               for i in range(width))
+
+
+def test_epfl_signature_scale():
+    sigs = {"adder": (256, 129), "bar": (135, 128), "max": (512, 130)}
+    for name, (n_in, n_out) in sigs.items():
+        c = EPFL_GENERATORS[name]()
+        c.remove_dangling_nodes()
+        s = c.stats()
+        assert (s["nb_inp"], s["nb_out"]) == (n_in, n_out), name
+
+
+def test_adder(rng):
+    c = EPFL_GENERATORS["adder"]()
+    vals = {i.name: rng.integers(0, 2, V) for i in c.inputs}
+    out = c.eval(vals)
+    a, b = _word(vals, "a", W), _word(vals, "b", W)
+    got = sum(np.asarray(out[f"s{i}"], dtype=object) << i
+              for i in range(W + 1))
+    assert np.all(got == a + b)
+
+
+def test_bar(rng):
+    c = EPFL_GENERATORS["bar"]()
+    vals = {i.name: rng.integers(0, 2, V) for i in c.inputs}
+    out = c.eval(vals)
+    d = np.array([[int(vals[f"d{i}"][v]) for i in range(W)]
+                  for v in range(V)])
+    sh = [sum(int(vals[f"s{j}"][v]) << j for j in range(7))
+          for v in range(V)]
+    got = np.array([[int(out[f"o{i}"][v]) for i in range(W)]
+                    for v in range(V)])
+    want = np.array([np.roll(d[v], sh[v]) for v in range(V)])
+    assert np.array_equal(got, want)
+
+
+def test_max_with_ties(rng):
+    c = EPFL_GENERATORS["max"]()
+    vals = {i.name: rng.integers(0, 2, V) for i in c.inputs}
+    for i in range(W):  # ties must still pick a row holding the max
+        vals[f"x3_{i}"] = vals[f"x1_{i}"].copy()
+    out = c.eval(vals)
+    xs = [_word(vals, f"x{k}_", W) for k in range(4)]
+    got = _word(out, "m", W)
+    want = np.maximum.reduce(xs)
+    assert np.all(got == want)
+    for v in range(V):
+        idx = int(out["idx1"][v]) * 2 + int(out["idx0"][v])
+        assert xs[idx][v] == want[v]
+
+
+def test_sweep_ensure_epfl(tmp_path):
+    from experiments.sweep import ensure_epfl
+    ensure_epfl(tmp_path)
+    blifs = sorted(p.name for p in tmp_path.glob("*.blif"))
+    assert blifs == ["adder.blif", "bar.blif", "max.blif"]
+    # regeneration is idempotent and respects fetched files
+    marker = tmp_path / "adder.blif"
+    before = marker.read_text()
+    ensure_epfl(tmp_path)
+    assert marker.read_text() == before
+
+
+def test_mappable_at_small_p():
+    """The regenerated adder maps end-to-end bit-exactly."""
+    from tfhe_fbs_map_tpu.frontend import HeuristicMapper
+    c = EPFL_GENERATORS["adder"](width=8)
+    c.remove_dangling_nodes()
+    prog = HeuristicMapper(cone_merger="search", fbs_size=8).map(c)
+    rng = np.random.default_rng(5)
+    vals = {i.name: rng.integers(0, 2, 64) for i in c.inputs}
+    w, g = c.eval(vals), prog.eval(vals)
+    for k in w:
+        assert np.array_equal(np.asarray(w[k]) * np.ones(64, np.int64),
+                              np.asarray(g[k]) * np.ones(64, np.int64)), k

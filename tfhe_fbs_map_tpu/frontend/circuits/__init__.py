@@ -1,4 +1,5 @@
 from .dsl import Bit, CircuitBuilder
-from .generators import BENCH_GENERATORS, build_bench
+from .generators import BENCH_GENERATORS, EPFL_GENERATORS, build_bench
 
-__all__ = ["Bit", "CircuitBuilder", "BENCH_GENERATORS", "build_bench"]
+__all__ = ["Bit", "CircuitBuilder", "BENCH_GENERATORS", "EPFL_GENERATORS",
+           "build_bench"]

@@ -13,7 +13,7 @@ from __future__ import annotations
 from ..bit_circuit import BitCircuit
 from .dsl import Bit, CircuitBuilder
 
-__all__ = ["BENCH_GENERATORS", "build_bench"]
+__all__ = ["BENCH_GENERATORS", "EPFL_GENERATORS", "build_bench"]
 
 
 def full_adder() -> BitCircuit:
@@ -258,6 +258,108 @@ def _state_bench(variant: int) -> BitCircuit:
     for i in range(1, 289):
         s[i].output(f"s{i}")
     return b.circuit
+
+
+# ---------------------------------------------------------------------------
+# EPFL-style arithmetic benchmarks (functional regenerations)
+#
+# The reference sweeps the EPFL combinational suite fetched over the network
+# (``gen_makefile_epfl.bash:7``).  The original BLIF netlists cannot be
+# vendored without egress, so the well-specified arithmetic members are
+# regenerated from their functional definitions at the same scale (adder:
+# 256 in / 129 out; bar: 135 in / 128 out; max: 512 in / 130 out).  Gate
+# structure differs from the EPFL netlists (these are plain ripple/mux
+# forms), so mapping-quality numbers are comparable in spirit, not
+# gate-for-gate.
+# ---------------------------------------------------------------------------
+
+_EPFL_WIDTH = 128
+
+
+def _ripple_add(b, xs, ys, cin=None):
+    """Ripple-carry sum bits + carry-out (LSB-first lists)."""
+    carry = cin
+    out = []
+    for a, y in zip(xs, ys):
+        s = a ^ y
+        if carry is None:
+            out.append(s)
+            carry = a & y
+        else:
+            out.append(s ^ carry)
+            carry = (a & y) | (carry & (a ^ y))
+    return out, carry
+
+
+def epfl_adder(width: int = _EPFL_WIDTH) -> BitCircuit:
+    b = CircuitBuilder()
+    xs = [b.input(f"a{i}") for i in range(width)]
+    ys = [b.input(f"b{i}") for i in range(width)]
+    out, carry = _ripple_add(b, xs, ys)
+    for i, s in enumerate(out):
+        s.output(f"s{i}")
+    carry.output(f"s{width}")
+    return b.circuit
+
+
+def _mux(s, a, x):
+    """s ? a : x  (3 gates)."""
+    return x ^ (s & (a ^ x))
+
+
+def epfl_bar(width: int = _EPFL_WIDTH) -> BitCircuit:
+    """Barrel shifter: rotate-left ``data`` by the 7-bit ``shift``."""
+    b = CircuitBuilder()
+    data = [b.input(f"d{i}") for i in range(width)]
+    nbits = (width - 1).bit_length()
+    shift = [b.input(f"s{j}") for j in range(nbits)]
+    for j, sbit in enumerate(shift):
+        amt = 1 << j
+        data = [_mux(sbit, data[(i - amt) % width], data[i])
+                for i in range(width)]
+    for i, d in enumerate(data):
+        d.output(f"o{i}")
+    return b.circuit
+
+
+def _greater(b, xs, ys):
+    """xs > ys (unsigned, LSB-first lists): LSB-up ripple, so each higher
+    bit's verdict overrides the accumulated lower-bit comparison."""
+    gt = None
+    for a, y in zip(xs, ys):
+        here = a & ~y
+        if gt is None:
+            gt = here
+        else:
+            gt = here | (~(a ^ y) & gt)
+    return gt
+
+
+def epfl_max(width: int = _EPFL_WIDTH) -> BitCircuit:
+    """Max of four ``width``-bit values + the 2-bit argmax index."""
+    b = CircuitBuilder()
+    vals = [[b.input(f"x{k}_{i}") for i in range(width)] for k in range(4)]
+
+    def vmax(xs, ys):
+        gt = _greater(b, xs, ys)
+        return [_mux(gt, a, y) for a, y in zip(xs, ys)], gt
+
+    m01, g01 = vmax(vals[0], vals[1])          # g01 = x0 > x1
+    m23, g23 = vmax(vals[2], vals[3])
+    m, gfin = vmax(m01, m23)                   # gfin = max01 > max23
+    for i, v in enumerate(m):
+        v.output(f"m{i}")
+    # index: high bit = winner came from {x2, x3}; low bit = odd member won
+    (~gfin).output("idx1")
+    _mux(gfin, ~g01, ~g23).output("idx0")
+    return b.circuit
+
+
+EPFL_GENERATORS = {
+    "adder": epfl_adder,
+    "bar": epfl_bar,
+    "max": epfl_max,
+}
 
 
 def _make_named(fn, *args, name):

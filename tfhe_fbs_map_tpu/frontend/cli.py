@@ -44,6 +44,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="maximal truth table size (log2) before bootstrapping")
     p.add_argument("--unroll_frames", default=10, type=int,
                    help="time frames for sequential .bench circuits")
+    p.add_argument("--opt", action="store_true",
+                   help="AIG logic optimization before mapping (strash + "
+                        "XOR recollapse — the role of the reference's abc "
+                        "genlib map/unmap step, gen_makefile_iscas85.bash:41)")
     p.add_argument("--verbose", "-v", action="count", default=0)
     return p
 
@@ -74,6 +78,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: input circuit not found: {args.filename}",
               file=sys.stderr)
         return 2
+
+    if args.opt:
+        from .opt import optimize
+        before = circuit.stats()
+        circuit = optimize(circuit)
+        after = circuit.stats()
+        logging.info("opt: %d -> %d 2-input gates (%d xor)",
+                     before["nb_and"] + before["nb_xor"] + before["nb_lut"],
+                     after["nb_and"] + after["nb_xor"] + after["nb_lut"],
+                     after["nb_xor"])
 
     np.random.seed(42)
     input_vals = {inp.name: np.random.randint(0, 2, 1000)

@@ -8,7 +8,13 @@ C18) with the accumulator resident in VMEM for the whole loop:
   HBM→VMEM one chunk per grid step, double-buffered by the Pallas
   pipeline — either a precomputed [rows·N, N] negacyclic matrix limb
   (orientation "fused") or a compact [rows, 2N] anti-periodic limb
-  extension rebuilt in VMEM (orientation "fused_otf");
+  extension (orientation "fused_otf") expanded in VMEM into a
+  **[rows·T, 2N] rotation strip** (only T ≪ N cyclic rotations per GGSW
+  row); the negacyclic contraction then runs as (N/T)² block-dots whose
+  rhs are static lane-slices of the strip — every [T, T] tile of the
+  full negacyclic matrix is a T-aligned window of the strip, so the
+  VPU rebuild traffic drops from N·2N to T·2N bytes per row (16× at
+  N=2048) and the freed VMEM goes to a bigger ciphertext batch;
 * the per-ciphertext monomial rotation is a **barrel shifter fused in
   VMEM**: log2(2N) stages of static ``pltpu.roll`` + per-row bit selects.
   (The XLA version of this materializes every stage through HBM — PERF.md;
@@ -49,22 +55,26 @@ def _barrel_rotate(x: jnp.ndarray, amt: jnp.ndarray,
     """X^amt · x with per-row amounts: log2(2N) static-roll stages.
 
     ``x``: [B, N] int32 (N on lanes); ``amt``: [B, 1] int32 in [0, 2N).
-    Stage j rolls right by 2^j (negating the wrapped-in prefix, X^N = -1)
-    and each row keeps the rolled value iff bit j of its amount is set.
+    The barrel is ~40% of the otf kernel runtime at N=2048
+    (profile_fused.py), so stage op count dominates the VPU budget.  The
+    stages are PURE CYCLIC (roll + bit-select, 2 ops — no per-stage sign
+    handling): a negacyclic rotation by ``a`` equals the cyclic rotation
+    by ``a mod N`` with sign ``−1 iff (t < a mod N) XOR (a >= N)``, so all
+    X^N = −1 bookkeeping collapses into one masked-negate epilogue.
     """
     n = x.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
     out = x
     shift = 1
-    while shift < n:
+    while shift < n:                       # cyclic barrel over a mod N
         if interpret:
             rolled = jnp.roll(out, shift, axis=1)
         else:
             rolled = pltpu.roll(out, shift, axis=1)
-        rolled = jnp.where(col < shift, -rolled, rolled)
         out = jnp.where((amt & shift) != 0, rolled, out)
         shift *= 2
-    return jnp.where((amt & n) != 0, -out, out)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    neg = (col < (amt & (n - 1))) ^ ((amt & n) != 0)
+    return jnp.where(neg, -out, out)
 
 
 def _decompose_digits(diff: jnp.ndarray, base_log: int,
@@ -78,25 +88,22 @@ def _decompose_digits(diff: jnp.ndarray, base_log: int,
     b, l = base_log, levels
     u = diff.astype(U32)
     closest = (u + U32(1 << (31 - b * l))) >> U32(32 - b * l)
-    half = U32(1 << (b - 1))
+    half = 1 << (b - 1)
     mask = U32((1 << b) - 1)
-    digits = []
-    for _ in range(l):
-        d = closest & mask
-        closest = closest >> U32(b)
-        carry = (d >= half).astype(U32)
-        d = d.astype(I32) - (carry.astype(I32) << b)
-        closest = closest + carry
-        digits.append(d)
-    return digits[::-1]
+    # biased form: adding `half` at every level position makes the digit
+    # carries ride the single add's carry chain, so each digit is one
+    # shift+mask+sub instead of the 6-op compare/carry loop (digit-exact
+    # vs tfhe.numeric.gadget_decompose, asserted in tests/test_fast_path)
+    w = closest + U32(sum(half << (b * i) for i in range(l)))
+    return [((w >> U32(b * i)) & mask).astype(I32) - half
+            for i in range(l)][::-1]
 
 
-def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref, *extra,
-            params: TFHEParams, n_limbs: int, interpret: bool, otf: bool):
+def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref,
+            params: TFHEParams, n_limbs: int, interpret: bool):
     k1 = params.glwe_dim + 1
     l, b = params.bsk_level, params.bsk_base_log
     N = params.poly_size
-    rows = k1 * l
     drop = 4 - n_limbs
 
     i = pl.program_id(0)
@@ -127,43 +134,122 @@ def _kernel(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref, *extra,
     limb = j // k1
     comp = j % k1
 
-    if otf:
-        # Build this chunk's negacyclic key matrix in VMEM from the
-        # [rows, 2N] anti-periodic limb extensions E: row j of the matrix
-        # is roll(E, j)[N:2N] (cyclic — the X^N = −1 sign structure lives
-        # in E's data, so limb-space rotation stays exact).  log2(N)
-        # doubling stages of static rolls; built ONE GGSW row at a time
-        # ([N, 2N] scratch, so VMEM stays bounded at any N) with a partial
-        # MXU dot per row.  (Mosaic has no int8 lane-rotate — "Rotate with
-        # non-32-bit data" — but two lane-slices + concat express the same
-        # cyclic roll.)
-        kmat_ref = extra[0]
-        n_buf = kmat_ref.shape[0]   # 2 = ping-pong (build r+1 ∥ dot r)
-        prods = jnp.zeros((dig_ref.shape[0], N), dtype=I32)
-        for r in range(rows):
-            buf = r % n_buf
-            kmat_ref[buf, 0:1, :] = kern_ref[0, 0, r:r + 1, :]
-            step = 1
-            while step < N:
-                src = kmat_ref[buf, 0:step, :]
-                rolled = jnp.concatenate(
-                    [src[:, 2 * N - step:], src[:, :2 * N - step]], axis=1)
-                kmat_ref[buf, step:2 * step, :] = rolled
-                step *= 2
-            prods = prods + jax.lax.dot_general(
-                dig_ref[:, r * N:(r + 1) * N], kmat_ref[buf, :, N:2 * N],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=I32)               # [B, N]
-    else:
-        prods = jax.lax.dot_general(
-            dig_ref[:], kern_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=I32)                   # [B, N]
+    prods = jax.lax.dot_general(
+        dig_ref[:], kern_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=I32)                   # [B, N]
 
     out_ref[comp] += prods << (8 * (limb + drop))
 
 
+def _sub_batch(batch: int, N: int) -> int:
+    """Barrel-rotate group size: keeps the ~4 live [SB, N] int32 temps of
+    the rotate/decompose pass near 2 MB so they do not crowd the batch out
+    of VMEM at large N."""
+    sb = max(8, (1 << 19) // (4 * N) // 8 * 8)
+    return min(batch, sb)
+
+
+# Profiling knobs (experiments/profile_fused.py): skip kernel phases to
+# bisect where the time goes ("rot", "build", "dots"), override the strip
+# tile.  Never set in production paths.
+_DEBUG_SKIP: tuple = ()
+_TILE_OVERRIDE: int | None = None
+
+
+def _kernel_otf(binit_ref, a_ref, tv_ref, kern_ref, out_ref, dig_ref,
+                strip_ref, params: TFHEParams, n_limbs: int, tile: int,
+                interpret: bool):
+    """On-the-fly orientation: rotation-strip build + (N/T)² block dots.
+
+    The full negacyclic matrix of a GGSW row poly has entries
+    ``M[j, t] = E[N + t − j]`` (E = the [2N] anti-periodic limb extension;
+    the index never wraps for j, t ∈ [0, N)).  Every [T, T] tile of M with
+    j ∈ wT+[0,T), t ∈ uT+[0,T) is therefore a T-aligned lane-window of the
+    small **rotation strip** ``S[jj, x] = E[(x − jj) mod 2N]`` (jj < T):
+    ``M[wT+jj, uT+v] = S[jj, N + (u−w)T + v]``.  So building T cyclic
+    rotations per row (T·2N bytes, vs N·2N for the full matrix) suffices,
+    and the contraction runs as n_w² dots ``dig_tile[w] @ S[:, off:off+T]``
+    with compile-time offsets.
+    """
+    k1 = params.glwe_dim + 1
+    l, b = params.bsk_level, params.bsk_base_log
+    N = params.poly_size
+    rows = k1 * l
+    drop = 4 - n_limbs
+    T = tile
+    n_w = N // T
+    batch = out_ref.shape[1]
+    sb = _sub_batch(batch, N)
+    groups = [(o, min(sb, batch - o)) for o in range(0, batch, sb)]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        for c in range(k1 - 1):
+            out_ref[c] = jnp.zeros_like(out_ref[c])
+        for off, g in groups:
+            out_ref[k1 - 1, off:off + g, :] = _barrel_rotate(
+                tv_ref[off:off + g, :], binit_ref[off:off + g, :], interpret)
+
+    @pl.when(jnp.logical_and(j == 0, "rot" not in _DEBUG_SKIP))
+    def _rotate_and_decompose():
+        # sub-batched: the [SB, N] barrel temps stay small so VMEM goes to
+        # the ciphertext batch instead; digits land tile-major in dig_ref
+        # ([n_w, B, rows·T]) so each block dot's lhs is one contiguous load
+        for c in range(k1):
+            for off, g in groups:
+                if "rot_src" in _DEBUG_SKIP:  # timing probe: break the
+                    x = tv_ref[off:off + g, :]  # step-to-step RAW chain
+                else:
+                    x = out_ref[c, off:off + g, :]
+                amt = a_ref[0, off:off + g, :]
+                diff = _barrel_rotate(x, amt, interpret) - x
+                for lev, d in enumerate(_decompose_digits(diff, b, l)):
+                    d8 = d.astype(jnp.int8)
+                    r = c * l + lev
+                    for w in range(n_w):
+                        dig_ref[w, off:off + g, r * T:(r + 1) * T] = \
+                            d8[:, w * T:(w + 1) * T]
+
+    limb = j // k1
+    comp = j % k1
+
+    # rotation strip: T cyclic rolls of each row's [2N] extension, by
+    # log2(T) doubling stages (Mosaic has no int8 lane-rotate — "Rotate
+    # with non-32-bit data" — but two lane-slices + a concat express the
+    # same cyclic roll)
+    for r in range(rows if "build" not in _DEBUG_SKIP else 0):
+        strip_ref[r * T:r * T + 1, :] = kern_ref[0, 0, r:r + 1, :]
+        s = 1
+        while s < T:
+            src = strip_ref[r * T:r * T + s, :]
+            rolled = jnp.concatenate(
+                [src[:, 2 * N - s:], src[:, :2 * N - s]], axis=1)
+            strip_ref[r * T + s:r * T + 2 * s, :] = rolled
+            s *= 2
+
+    for u in range(n_w if "dots" not in _DEBUG_SKIP else 0):
+        acc = jnp.zeros((batch, T), dtype=I32)
+        for w in range(n_w):
+            off = N + (u - w) * T
+            acc = acc + jax.lax.dot_general(
+                dig_ref[w], strip_ref[:, off:off + T],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=I32)               # [B, T]
+        out_ref[comp, :, u * T:(u + 1) * T] += acc << (8 * (limb + drop))
+
+
 VMEM_BUDGET = 13e6             # usable bytes out of the 16 MB/core
+
+
+def _tile(params: TFHEParams) -> int:
+    """Rotation-strip depth for the otf kernel: one full MXU lane tile."""
+    if _TILE_OVERRIDE is not None:
+        return min(_TILE_OVERRIDE, params.poly_size)
+    return min(128, params.poly_size)
 
 
 def _max_batch(params: TFHEParams, otf: bool) -> int:
@@ -172,11 +258,13 @@ def _max_batch(params: TFHEParams, otf: bool) -> int:
     N = params.poly_size
     rows_n = k1 * params.bsk_level * N
     if otf:
-        fixed = (2 if 2 * N * 2 * N <= 4e6 else 1) * N * 2 * N  # kmat bufs
+        # rotation strip + sub-batched barrel temps (~4 live [SB, N] int32)
+        fixed = rows_n * 2 * _tile(params) + 4 * 4 * N * _sub_batch(1 << 30, N)
+        per_b = k1 * N * 4 + N * 4 + rows_n
     else:
         fixed = 2 * rows_n * N                     # dbl-buffered kern chunk
-    # out + tv (int32) + digits (int8) + ~3 live barrel temps (int32)
-    per_b = k1 * N * 4 + N * 4 + rows_n + 12 * N
+        # out + tv (int32) + digits (int8) + ~3 live barrel temps (int32)
+        per_b = k1 * N * 4 + N * 4 + rows_n + 12 * N
     b = int((VMEM_BUDGET - fixed) // per_b)
     return max(8, (b // 8) * 8)
 
@@ -242,21 +330,26 @@ def _blind_rotate_call(b_init, a_t, test_polys, kernels,
     n_chunks = kernels.shape[1] if otf else kernels.shape[2] // N
     n_limbs = n_chunks // k1
 
-    kern_spec = (pl.BlockSpec((1, 1, k1 * l, 2 * N),
-                              lambda i, j: (i, j, 0, 0),
-                              memory_space=pltpu.VMEM) if otf else
-                 pl.BlockSpec((1, rows_n, N), lambda i, j: (i, 0, j),
-                              memory_space=pltpu.VMEM))
-    scratch = [pltpu.VMEM((batch, rows_n), jnp.int8)]   # per-step digits
     if otf:
-        # per-row rebuild buffers; double-buffered when VMEM allows so the
-        # build of row r+1 is not WAR-blocked on the dot reading row r
-        n_buf = 2 if 2 * N * 2 * N <= 4e6 else 1
-        scratch.append(pltpu.VMEM((n_buf, N, 2 * N), jnp.int8))
+        T = _tile(params)
+        kern_spec = pl.BlockSpec((1, 1, k1 * l, 2 * N),
+                                 lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        # tile-major per-step digits + the shared rotation strip
+        scratch = [pltpu.VMEM((N // T, batch, k1 * l * T), jnp.int8),
+                   pltpu.VMEM((k1 * l * T, 2 * N), jnp.int8)]
+        body = functools.partial(_kernel_otf, params=params,
+                                 n_limbs=n_limbs, tile=T,
+                                 interpret=interpret)
+    else:
+        kern_spec = pl.BlockSpec((1, rows_n, N), lambda i, j: (i, 0, j),
+                                 memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((batch, rows_n), jnp.int8)]  # per-step digits
+        body = functools.partial(_kernel, params=params, n_limbs=n_limbs,
+                                 interpret=interpret)
 
     return pl.pallas_call(
-        functools.partial(_kernel, params=params, n_limbs=n_limbs,
-                          interpret=interpret, otf=otf),
+        body,
         grid=(n, n_chunks),
         in_specs=[
             pl.BlockSpec((batch, 1), lambda i, j: (0, 0),
