@@ -80,7 +80,7 @@ double p_error_atomic(int p, double sq_norm2, int n, int k, int N, int br_l,
 constexpr double MXU_INT8_OPS = 394e12;
 constexpr double HBM_BYTES = 820e9;
 constexpr double MXU_EFF_FUSED = 0.65;
-constexpr double MXU_EFF_OTF = 0.45;
+constexpr double MXU_EFF_OTF = 0.55;
 constexpr double MATMUL_HBM_BUDGET = 12e9;
 
 double bootstrap_cost_us(int n, int k, int N, int br_l, int ks_l,

@@ -155,3 +155,36 @@ def test_negated_output():
     for mapper in (BasicMapper(),
                    HeuristicMapper(cone_merger="search", fbs_size=4)):
         check_bit_exact(c, mapper)
+
+
+def test_numeric_wire_names_do_not_collide_with_consts():
+    """ISCAS .bench wires are named "0"/"1"/"2"… — resolution must be by
+    node identity, not name, or an input named "1" is misread as CONST1
+    (this broke the basic mapper on c17: outputs silently wrong)."""
+    import numpy as np
+
+    from tfhe_fbs_map_tpu.frontend.bit_circuit import BitCircuit, CONST1
+    from tfhe_fbs_map_tpu.frontend.mapping.basic import BasicMapper
+    from tfhe_fbs_map_tpu.frontend.mapping.heuristic import HeuristicMapper
+    from tfhe_fbs_map_tpu.frontend.opt import optimize
+
+    c = BitCircuit()
+    one = c.add_input("1")          # input whose NAME is "1"
+    two = c.add_input("2")
+    g = c.lut([one, two], (1, 0, 0, 0), name="g")   # NOR
+    h = c.lut([g, CONST1], (0, 1, 1, 0), name="h")  # g XOR const1 = NOT g
+    c.set_output("o", h)
+
+    vals = {"1": np.array([0, 0, 1, 1]), "2": np.array([0, 1, 0, 1])}
+    want = c.eval(vals)["o"]
+    assert np.array_equal(want, np.array([0, 1, 1, 1]))  # OR
+
+    for prog in (BasicMapper().map(c),
+                 HeuristicMapper(cone_merger="search", fbs_size=4).map(c),
+                 None):
+        if prog is None:
+            got = optimize(c).eval(vals)["o"]
+        else:
+            got = prog.eval(vals)["o"]
+        assert np.array_equal(np.asarray(got) * np.ones(4, np.int64),
+                              want), type(prog)

@@ -82,13 +82,13 @@ def test_optimize_quantized_bsk_only_when_safe():
 
 def test_cost_model_matches_measured_anchors():
     """Roofline realism (VERDICT r1 item 10): bootstrap_cost_us within 40%
-    of the r1 measured points (PERF.md: fused anchor 0.089 ms; fused_otf
-    presets p8 0.24 ms / p16 0.75 ms / p32 1.84 ms)."""
+    of the r2 measured points (PERF.md: fused anchor 0.0864 ms; fused_otf
+    rotation-strip presets p8 0.1404 ms / p16 0.5164 ms / p32 1.591 ms)."""
     measured = [
-        ((630, 2, 512, 2, 5), 89.0),     # fused anchor, l=2 b=8
-        ((610, 2, 512, 3, 6), 240.0),    # p8 preset (fused_otf)
-        ((642, 2, 1024, 3, 7), 750.0),   # p16 preset
-        ((706, 1, 2048, 3, 8), 1840.0),  # p32 preset
+        ((630, 2, 512, 2, 5), 86.4),     # fused anchor, l=2 b=8
+        ((610, 2, 512, 3, 6), 140.4),    # p8 preset (fused_otf)
+        ((642, 2, 1024, 3, 7), 516.4),   # p16 preset
+        ((706, 1, 2048, 3, 8), 1591.0),  # p32 preset
     ]
     for args, us in measured:
         model = bootstrap_cost_us(*args)

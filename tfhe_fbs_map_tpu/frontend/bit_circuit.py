@@ -168,19 +168,24 @@ class BitCircuit:
 
         Gate input index is MSB-first: ``fanins[0]`` is the most significant
         bit of the truth-table row index (reference ``bit_exec_env.py:183-185``).
+
+        Wires are resolved by node identity (``nid``), not name — ISCAS
+        ``.bench`` netlists legally name wires "0"/"1", which must not
+        collide with the CONST0/CONST1 singletons.
         """
-        wires: dict[str, np.ndarray] = {"0": np.int64(0), "1": np.int64(1)}
+        wires: dict[int, np.ndarray] = {CONST0.nid: np.int64(0),
+                                        CONST1.nid: np.int64(1)}
         for node in self.nodes:
             if node.kind == K_INPUT:
                 val = np.asarray(input_values[node.name]).reshape(-1)
             else:
                 idx = 0
                 for f in node.fanins:
-                    idx = (idx << 1) + wires[f.name]
+                    idx = (idx << 1) + wires[f.nid]
                 val = np.asarray(node.table, dtype=np.int64)[idx]
-            wires[node.name] = val
+            wires[node.nid] = val
 
-        return {name: wires[out.name] for name, out in self.outputs.items()}
+        return {name: wires[out.nid] for name, out in self.outputs.items()}
 
     # ------------------------------------------------------------- transforms
     def remove_dangling_nodes(self) -> None:

@@ -13,7 +13,7 @@ wire environment.
 from __future__ import annotations
 
 
-from ..bit_circuit import BitCircuit, K_INPUT
+from ..bit_circuit import BitCircuit, CONST0, CONST1, K_CONST, K_INPUT
 from ..lut_program import LutProgram
 
 __all__ = ["BasicMapper"]
@@ -22,11 +22,13 @@ __all__ = ["BasicMapper"]
 class BasicMapper:
     def map(self, circuit: BitCircuit) -> LutProgram:
         prog = LutProgram(fbs_size=2)
-        wires = {"0": prog.const(0), "1": prog.const(1)}
+        # wires keyed by node identity (nid) — .bench netlists name wires
+        # "0"/"1", which must not be mistaken for the constant singletons
+        wires = {CONST0.nid: prog.const(0), CONST1.nid: prog.const(1)}
 
         for node in circuit.nodes:
             if node.kind == K_INPUT:
-                wires[node.name] = prog.input(node.name)
+                wires[node.nid] = prog.input(node.name)
                 continue
             assert len(node.table) == 1 << len(node.fanins)
 
@@ -37,8 +39,8 @@ class BasicMapper:
             pos = 0
             while pos < len(fanins):
                 f = fanins[pos]
-                if f.name in ("0", "1"):
-                    bit = int(f.name)
+                if f.kind == K_CONST:
+                    bit = 0 if f is CONST0 else 1
                     stride = 1 << (len(fanins) - pos - 1)
                     table = [v for r, v in enumerate(table)
                              if (r // stride) % 2 == bit]
@@ -47,22 +49,22 @@ class BasicMapper:
                     pos += 1
 
             if not fanins:
-                wires[node.name] = prog.const(table[0])
+                wires[node.nid] = prog.const(table[0])
             elif len(fanins) == 1:
-                src = wires[fanins[0].name]
+                src = wires[fanins[0].nid]
                 if table == [1, 0]:
-                    wires[node.name] = prog.linear([-1], [src], const_coef=1)
+                    wires[node.nid] = prog.linear([-1], [src], const_coef=1)
                 elif table == [0, 1]:
-                    wires[node.name] = src
+                    wires[node.nid] = src
                 else:  # constant table after partial evaluation
-                    wires[node.name] = prog.const(table[0])
+                    wires[node.nid] = prog.const(table[0])
             else:
                 # MSB-first binary weighting: fanins[0] gets the top bit.
                 coefs = [1 << k for k in range(len(fanins))][::-1]
-                vals = [wires[f.name] for f in fanins]
+                vals = [wires[f.nid] for f in fanins]
                 lin = prog.linear(coefs, vals)
-                wires[node.name] = prog.bootstrap(lin, table)
+                wires[node.nid] = prog.bootstrap(lin, table)
 
         for name, out in circuit.outputs.items():
-            prog.output(name, wires[out.name])
+            prog.output(name, wires[out.nid])
         return prog

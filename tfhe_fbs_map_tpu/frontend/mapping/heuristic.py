@@ -21,7 +21,7 @@ import logging
 
 import numpy as np
 
-from ..bit_circuit import BitCircuit, K_INPUT
+from ..bit_circuit import BitCircuit, CONST0, CONST1, K_INPUT
 from ..lut_program import LutProgram, LutNode
 from .cones import (Cone, ConeSpace, dedupe_pair_rows, merge_cones, mvt_span,
                     pair_tables, valid_pairs_mask)
@@ -230,30 +230,34 @@ class HeuristicMapper:
 
     # ------------------------------------------------------------------ map
     def map(self, circuit: BitCircuit) -> LutProgram:
-        to_bootstrap = {out.name for out in circuit.outputs.values()}
+        to_bootstrap = {out.nid for out in circuit.outputs.values()}
         return self.map_internal(circuit, to_bootstrap)
 
     def map_internal(self, circuit: BitCircuit,
-                     nodes_to_bootstrap: set[str]) -> LutProgram:
+                     nodes_to_bootstrap: set[int]) -> LutProgram:
+        """``nodes_to_bootstrap``: node ids (``nid``) forced to materialize.
+
+        Cones are keyed by node identity, not name — .bench netlists name
+        wires "0"/"1", which must not collide with the const singletons."""
         prog = LutProgram(fbs_size=self.space.fbs_size)
-        cones: dict[str, Cone] = {"0": self.const_cone(0),
-                                  "1": self.const_cone(1)}
+        cones: dict[int, Cone] = {CONST0.nid: self.const_cone(0),
+                                  CONST1.nid: self.const_cone(1)}
 
         for node in circuit.nodes:
             if node.kind == K_INPUT:
                 cone = self.unit_cone(prog.input(node.name))
             else:
-                input_cones = [cones[f.name] for f in node.fanins]
+                input_cones = [cones[f.nid] for f in node.fanins]
                 assert len(input_cones) <= 2, \
                     "only 1- and 2-input gates are supported"
                 cone, forced = self.map_gate(prog, input_cones, node.table)
                 for pos, new_cone in forced.items():
-                    cones[node.fanins[pos].name] = new_cone
+                    cones[node.fanins[pos].nid] = new_cone
 
-            if node.name in nodes_to_bootstrap:
+            if node.nid in nodes_to_bootstrap:
                 cone = self.materialize(prog, cone)
-            cones[node.name] = cone
+            cones[node.nid] = cone
 
         for name, out in circuit.outputs.items():
-            prog.output(name, self.emit_output(prog, cones[out.name]))
+            prog.output(name, self.emit_output(prog, cones[out.nid]))
         return prog

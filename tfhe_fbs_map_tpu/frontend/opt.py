@@ -109,21 +109,21 @@ class _AIG:
 def _build_aig(circ: BitCircuit) -> tuple[_AIG, dict[int, int], dict[str, int]]:
     """Returns (aig, input-literal by circuit node id, output literals).
 
-    Wire resolution is positional (name rebinding in order), matching
-    ``BitCircuit.eval`` — BLIF files may legally re-drive a wire that
-    shadows an input name (e.g. the generated ascon_lut netlist)."""
+    Wires resolve by node identity (``nid``), matching ``BitCircuit.eval``
+    — fanins reference exact node objects, and .bench wires named "0"/"1"
+    must not collide with the constant singletons."""
     aig = _AIG()
-    lit: dict[str, int] = {"0": _FALSE, "1": _TRUE}
+    lit: dict[int, int] = {CONST0.nid: _FALSE, CONST1.nid: _TRUE}
     in_lits: dict[int, int] = {}
     for node in circ.nodes:
         if node.kind == "input":
             l = aig.add_input(node.name)
-            lit[node.name] = l
+            lit[node.nid] = l
             in_lits[node.nid] = l
         elif node.is_gate:
-            fan = [lit[f.name] for f in node.fanins]
-            lit[node.name] = aig.from_table(fan, node.table)
-    outs = {name: lit[out.name] for name, out in circ.outputs.items()}
+            fan = [lit[f.nid] for f in node.fanins]
+            lit[node.nid] = aig.from_table(fan, node.table)
+    outs = {name: lit[out.nid] for name, out in circ.outputs.items()}
     return aig, in_lits, outs
 
 

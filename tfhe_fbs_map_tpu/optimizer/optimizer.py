@@ -32,11 +32,12 @@ __all__ = ["Solution", "optimize", "bootstrap_cost_us"]
 # TPU v5e-class roofline constants (per chip)
 MXU_INT8_OPS = 394e12          # ops/s (2 ops per MAC)
 HBM_BYTES = 820e9              # bytes/s
-# measured MXU utilizations of the fused Pallas blind-rotate kernel (r1,
-# v5e, batch 512): streamed precomputed key matrices vs on-the-fly
-# in-VMEM rebuild (ops/fused_blind_rotate.py, PERF.md)
+# measured MXU utilizations of the fused Pallas blind-rotate kernel (r2,
+# v5e): streamed precomputed key matrices (0.70 measured at the anchor) vs
+# the on-the-fly rotation-strip rebuild (0.45-0.72 across the p8/p16/p32
+# presets; 0.55 is the flat mid-point) — ops/fused_blind_rotate.py, PERF.md
 MXU_EFF_FUSED = 0.65
-MXU_EFF_OTF = 0.45
+MXU_EFF_OTF = 0.55
 MATMUL_HBM_BUDGET = 12e9       # precomputed key-matrix budget (bytes)
 GENERIC_PATH_SLOWDOWN = 140.0  # measured generic-vs-fused ratio (r1)
 
