@@ -153,3 +153,35 @@ def test_cli_opt_flag(tmp_path):
     rc = main(["benchmarks/iscas85/c17.bench", "--type", "bench",
                "--fbs_size", "4", "--opt", "--output_lbf", str(out)])
     assert rc == 0 and out.exists()
+
+
+def test_random_dags_equiv():
+    """Property sweep: 40 random 2-input-LUT DAGs (with consts, NOTs,
+    shared fanout, random output phases) optimize to equivalent circuits
+    with never-worse gate counts."""
+    from tfhe_fbs_map_tpu.frontend.bit_circuit import CONST0, CONST1
+
+    rng = np.random.default_rng(1234)
+    for case in range(40):
+        c = BitCircuit()
+        pool = [c.add_input(f"i{k}") for k in range(int(rng.integers(2, 6)))]
+        pool += [CONST0, CONST1]
+        n_gates = int(rng.integers(1, 40))
+        for g in range(n_gates):
+            k = int(rng.integers(1, 3))
+            fanins = [pool[int(rng.integers(0, len(pool)))]
+                      for _ in range(k)]
+            while k == 2 and fanins[0] is fanins[1]:
+                fanins[1] = pool[int(rng.integers(0, len(pool)))]
+            t = rng.integers(0, 2, 1 << k)
+            if t.min() == t.max():
+                t[0] = 1 - t[0]
+            node = c.lut(fanins, tuple(int(v) for v in t))
+            pool.append(node)
+        n_out = int(rng.integers(1, 4))
+        for o in range(n_out):
+            c.set_output(f"o{o}", pool[int(rng.integers(0, len(pool)))])
+        opt = optimize(c)
+        _assert_equiv(c, opt, n_vec=64, seed=case)
+        c.remove_dangling_nodes()
+        assert _gate_count(opt) <= _gate_count(c), case

@@ -101,3 +101,16 @@ def test_mesh_executor_aes_sbox_realistic():
     ex = _mesh_run("aes_sbox", "generic", 8, 1, batch=8)
     assert ex.num_bootstraps >= 40
     assert len(ex.levels) >= 8
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    """No coordinator env => single-process fallback, nothing initialized."""
+    from tfhe_fbs_map_tpu.parallel.distributed import (global_mesh,
+                                                       init_distributed)
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert init_distributed() is False
+    mesh = global_mesh(tp=2)
+    assert mesh.shape["dp"] * mesh.shape["tp"] == 8
+    assert mesh.shape["tp"] == 2

@@ -156,13 +156,18 @@ def main(argv=None) -> int:
     if args.mesh:
         import jax
 
+        from ..parallel.distributed import global_mesh, init_distributed
         from ..parallel.mesh import make_mesh
+        multi = init_distributed()  # no-op single-process; env-driven on pods
         if args.mesh == "auto":
+            if multi:
+                mesh = global_mesh(tp=1)
             dp, tp = len(jax.devices()), 1
         else:
             parts = [int(x) for x in args.mesh.split(",")]
             dp, tp = (parts + [1])[:2]
-        mesh = make_mesh(jax.devices()[:dp * tp], dp=dp, tp=tp)
+        if mesh is None:
+            mesh = make_mesh(jax.devices()[:dp * tp], dp=dp, tp=tp)
         if args.batch % dp:
             print(f"--batch {args.batch} must be divisible by dp={dp}",
                   file=sys.stderr)
