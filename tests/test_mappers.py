@@ -188,3 +188,38 @@ def test_numeric_wire_names_do_not_collide_with_consts():
             got = prog.eval(vals)["o"]
         assert np.array_equal(np.asarray(got) * np.ones(4, np.int64),
                               want), type(prog)
+
+
+def test_search_plus_and_best_modes():
+    """search+ = trial-repair variant (bit-exact); best = race of search
+    and search+, never worse than either on (nb_bootstrap, norm2)."""
+    import glob
+
+    import numpy as np
+
+    from tfhe_fbs_map_tpu.frontend.mapping.heuristic import (HeuristicMapper,
+                                                             map_best)
+    from tfhe_fbs_map_tpu.frontend.parsers import parse_blif
+
+    rng = np.random.default_rng(9)
+    for path in sorted(glob.glob("benchmarks/generated/*_iter_v1.blif")) + \
+            ["benchmarks/generated/aes_sbox.blif"]:
+        circ = parse_blif(path)
+        vals = {i.name: rng.integers(0, 2, 100) for i in circ.inputs}
+        want = circ.eval(vals)
+        for p in (4, 8):
+            ref = HeuristicMapper(cone_merger="search", fbs_size=p).map(circ)
+            plus = HeuristicMapper(cone_merger="search+",
+                                   fbs_size=p).map(circ)
+            best = map_best(circ, fbs_size=p)
+            for prog in (plus, best):
+                got = prog.eval(vals)
+                for k in want:
+                    assert np.array_equal(
+                        np.asarray(want[k]) * np.ones(100, np.int64),
+                        np.asarray(got[k]) * np.ones(100, np.int64)), (path, p, k)
+            ref.remove_dangling_nodes()
+            plus.remove_dangling_nodes()
+            kb = best.stats()["nb_bootstrap"]
+            assert kb <= ref.stats()["nb_bootstrap"], (path, p)
+            assert kb <= plus.stats()["nb_bootstrap"], (path, p)

@@ -1,10 +1,10 @@
 from .bit_circuit import BitCircuit, BitNode, CONST0, CONST1
 from .lut_program import LutProgram, LutNode, parse_lbf
 from .mapping.basic import BasicMapper
-from .mapping.heuristic import HeuristicMapper
+from .mapping.heuristic import HeuristicMapper, map_best
 
 __all__ = [
     "BitCircuit", "BitNode", "CONST0", "CONST1",
     "LutProgram", "LutNode", "parse_lbf",
-    "BasicMapper", "HeuristicMapper",
+    "BasicMapper", "HeuristicMapper", "map_best",
 ]

@@ -34,8 +34,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--type", choices=["blif", "bristol", "bench"],
                    default="blif", help="input format")
     p.add_argument("--fbs_size", default=3, type=int, help="FBS size")
-    p.add_argument("--mapper", choices=["basic", "naive", "search"],
-                   default="search", help="mapping strategy")
+    p.add_argument("--mapper",
+                   choices=["basic", "naive", "search", "search+", "best"],
+                   default="search",
+                   help="mapping strategy (search = reference-parity "
+                        "heuristic; search+ = trial-repair variant; best = "
+                        "race both, keep the cheaper program)")
     p.add_argument("--strict_fbs_size", action="store_true",
                    help="do not use the anti-cyclic ring property")
     p.add_argument("--output", help="output mapped circuit file (.fbs)")
@@ -64,6 +68,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.mapper == "basic":
         mapper = BasicMapper()
+    elif args.mapper == "best":
+        from .mapping.heuristic import map_best
+
+        class mapper:  # noqa: N801 — duck-typed .map()
+            @staticmethod
+            def map(circ):
+                return map_best(circ, fbs_size=args.fbs_size,
+                                max_fbs_size=max_fbs_size,
+                                max_truth_table_size=args.max_tt_size)
     else:
         mapper = HeuristicMapper(
             cone_merger=args.mapper,

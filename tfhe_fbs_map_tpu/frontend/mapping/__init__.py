@@ -1,4 +1,4 @@
 from .basic import BasicMapper
-from .heuristic import HeuristicMapper
+from .heuristic import HeuristicMapper, map_best
 
-__all__ = ["BasicMapper", "HeuristicMapper"]
+__all__ = ["BasicMapper", "HeuristicMapper", "map_best"]

@@ -35,11 +35,36 @@ class MappingError(RuntimeError):
     matches the reference's terminal assert, ``map_to_fbs.py:545``)."""
 
 
+def map_best(circuit: BitCircuit, fbs_size: int = 8,
+             max_fbs_size: int | None = None,
+             max_truth_table_size: int = 16) -> LutProgram:
+    """Best-of-both mapping: run the reference-parity "search" merger and
+    the trial-repair "search+" variant, keep the cheaper program by
+    (nb_bootstrap, norm2_linprod, max_lut_size).  The greedy repairs are
+    locally never worse but globally non-monotone (a preserved cone changes
+    every later merge), so the robust way to beat the reference heuristic
+    is to race both and pick — map time roughly doubles, which is noise
+    next to homomorphic execution."""
+    best = None
+    for merger in ("search", "search+"):
+        prog = HeuristicMapper(
+            cone_merger=merger, fbs_size=fbs_size, max_fbs_size=max_fbs_size,
+            max_truth_table_size=max_truth_table_size).map(circuit)
+        prog.remove_dangling_nodes()
+        s = prog.stats()
+        key = (s["nb_bootstrap"], s["norm2_linprod"], s["max_lut_size"])
+        if best is None or key < best[0]:
+            best = (key, prog)
+    return best[1]
+
+
 class HeuristicMapper:
     def __init__(self, cone_merger: str = "search", fbs_size: int = 8,
                  max_fbs_size: int | None = None,
                  max_truth_table_size: int = 16):
-        """:param cone_merger: "naive" or "search"
+        """:param cone_merger: "naive", "search", or "search+" ("search"
+            plus trial-based bootstrap choice on merge failure — a strict
+            quality improvement over the reference ladder, see ``map_gate``)
         :param fbs_size: plaintext precision p of one FBS
         :param max_fbs_size: longest acceptable test vector (2p unless strict)
         :param max_truth_table_size: support-size cap (log2 of tt rows) above
@@ -48,9 +73,10 @@ class HeuristicMapper:
         self.space = ConeSpace(
             fbs_size, 2 * fbs_size if max_fbs_size is None else max_fbs_size)
         self.max_support = max_truth_table_size
+        self.alt_boot = cone_merger == "search+"
         if cone_merger == "naive":
             self._find_coefs = self._find_coefs_naive
-        elif cone_merger == "search":
+        elif cone_merger in ("search", "search+"):
             self._find_coefs = self._find_coefs_search
         else:
             raise ValueError(f"unknown cone merger {cone_merger!r}")
@@ -207,6 +233,11 @@ class HeuristicMapper:
 
         # Up to three merge attempts, bootstrapping cone1 then cone2 between
         # failures; the third attempt cannot fail (both cones are then unit).
+        # In "search+" mode the first failure instead TRIALS both
+        # single-bootstrap repairs (shape-only, no program emission) and
+        # picks the cheaper winner — never worse than the fixed ladder,
+        # which can spend TWO bootstraps where bootstrapping the other
+        # input would have spent one.
         for attempt in range(3):
             xy_mvt, r_tt = pair_tables(cone1, cone2, gate_tt)
             if len(np.unique(r_tt)) == 1:
@@ -219,14 +250,60 @@ class HeuristicMapper:
                 raise MappingError(
                     f"no valid lincomb for gate tt {gate_tt} at fbs_size "
                     f"{self.space.fbs_size}/{self.space.max_fbs_size}")
+            if attempt == 0 and self.alt_boot:
+                pick = self._pick_bootstrap(cone1, cone2, gate_tt)
+                if pick == 1:
+                    log.debug("bootstrap cone %d (trial pick)", idx2)
+                    forced[idx2] = cone2 = self.materialize(prog, cone2)
+                    continue
             if attempt == 0:
                 log.debug("bootstrap cone %d", idx1)
                 forced[idx1] = cone1 = self.materialize(prog, cone1)
-            else:
+            elif len(cone2.support) > 1:
                 log.debug("bootstrap cone %d", idx2)
                 forced[idx2] = cone2 = self.materialize(prog, cone2)
+            else:  # cone2 already unit (search+ trial path): repair cone1
+                log.debug("bootstrap cone %d", idx1)
+                forced[idx1] = cone1 = self.materialize(prog, cone1)
 
         raise AssertionError("unreachable")
+
+    # ------------------------------------------------ search+ trial repair
+    class _TrialNode:
+        """Stand-in for a not-yet-emitted bootstrap output; only its unique
+        name participates in the support index algebra."""
+        __slots__ = ("name",)
+        _n = 0
+
+        def __init__(self):
+            HeuristicMapper._TrialNode._n += 1
+            self.name = f"__trial{HeuristicMapper._TrialNode._n}__"
+
+    def _trial_unit(self) -> Cone:
+        return Cone(self.space, [self._TrialNode()], [1], [0, 1], [0, 1])
+
+    def _pick_bootstrap(self, cone1: Cone, cone2: Cone, gate_tt) -> int:
+        """Which input to bootstrap after a failed merge: 0 (= cone1, the
+        reference ladder's choice) or 1.  Trials both repairs without
+        emitting anything (a materialized cone is a fresh unit cone, so
+        merge feasibility depends only on shapes; the coefficient cache key
+        is shape-based and is reused by the real merge that follows).
+        Prefers the repair that merges at all; between two feasible repairs,
+        the one whose merged cone is smaller (size, then norm²)."""
+        results = []
+        for boot_pos, (t1, t2) in enumerate(
+                ((self._trial_unit(), cone2), (cone1, self._trial_unit()))):
+            xy_mvt, r_tt = pair_tables(t1, t2, gate_tt)
+            if len(np.unique(r_tt)) == 1:
+                return boot_pos  # collapses to a constant — free
+            ab, r_mvt = self._find_coefs_cached(xy_mvt, r_tt)
+            if ab is None:
+                continue
+            merged = merge_cones(self.space, t1, t2, ab, r_tt, r_mvt)
+            results.append((merged.size(), merged.norm2_squared(), boot_pos))
+        if not results:
+            return 0  # neither single repair works: keep the ladder order
+        return min(results)[2]
 
     # ------------------------------------------------------------------ map
     def map(self, circuit: BitCircuit) -> LutProgram:

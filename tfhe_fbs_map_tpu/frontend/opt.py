@@ -71,6 +71,10 @@ class _AIG:
                          self.and_(la ^ 1, lb ^ 1) ^ 1)
 
     def mux_(self, ls: int, l1: int, l0: int) -> int:
+        if l1 == l0:          # Shannon cofactors agree -> select is dead
+            return l1
+        if l1 == l0 ^ 1:      # f = s ? x : not x  ==  XNOR(s, x)... as XOR
+            return self.xor_(ls, l0)
         return self.and_(self.and_(ls, l1) ^ 1,
                          self.and_(ls ^ 1, l0) ^ 1) ^ 1
 

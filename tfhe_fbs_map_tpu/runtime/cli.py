@@ -32,7 +32,7 @@ def main(argv=None) -> int:
                     help="time frames for sequential .bench circuits "
                          "(matches the mapping CLI default)")
     ap.add_argument("--mapper", default="search",
-                    choices=["basic", "naive", "search"])
+                    choices=["basic", "naive", "search", "search+", "best"])
     ap.add_argument("--fbs_size", type=int, default=None,
                     help="FBS size (default: from --params or 4)")
     ap.add_argument("--batch", type=int, default=8,
@@ -80,6 +80,9 @@ def main(argv=None) -> int:
         p = args.fbs_size or 4
         if args.mapper == "basic":
             prog = BasicMapper().map(circuit)
+        elif args.mapper == "best":
+            from ..frontend.mapping.heuristic import map_best
+            prog = map_best(circuit, fbs_size=p)
         else:
             prog = HeuristicMapper(cone_merger=args.mapper,
                                    fbs_size=p).map(circuit)
