@@ -78,18 +78,18 @@ def ensure_epfl(bench_dir: Path) -> None:
 
 
 def configs_for(suite: str, bench_files: list[Path], out_dir: Path,
-                timeout: float = 3600):
+                timeout: float = 3600, mappers: list[str] | None = None):
     sizes, with_basic = SWEEPS[suite]
     fmt = SUITE_FORMAT[suite]
     opt = suite in SUITE_OPT
     for bench in bench_files:
         stem = bench.stem
-        if with_basic:
+        if with_basic and not mappers:
             yield (bench, fmt, 2, "basic",
                    out_dir / f"{stem}_2_basic.log", timeout, opt)
         for p in sizes:
-            for mapper in ("naive", "search") if suite == "epfl" \
-                    else ("search",):
+            for mapper in mappers or (("naive", "search") if suite == "epfl"
+                                      else ("search",)):
                 yield (bench, fmt, p, mapper,
                        out_dir / f"{stem}_{p}_{mapper}.log", timeout, opt)
 
@@ -128,6 +128,18 @@ def aggregate(out_dir: Path, csv_path: Path) -> list[dict]:
             rows.append(d)
         except Exception as e:  # tolerate failed runs, like build_csv.py:28
             print(f"cannot parse {log}: {e}", file=sys.stderr)
+    # Merge with the existing aggregate: per-config artifacts are routinely
+    # pruned (they are regenerable), so a partial re-run must not lose the
+    # rows whose logs are gone.  Fresh logs win on (bench, mapper, fbs_size).
+    if csv_path.exists():
+        import pandas as pd
+        old = pd.read_csv(csv_path)
+        have = {(r["bench"], r["mapper"], int(r["fbs_size"])) for r in rows}
+        for _, r in old.iterrows():
+            if (r["bench"], r["mapper"], int(r["fbs_size"])) not in have:
+                rows.append({k: v for k, v in r.items()
+                             if v == v and k not in ("boot_cost",
+                                                     "total_cost")})
     rows.sort(key=lambda d: (d["bench"], d["mapper"], d["fbs_size"]))
     if rows:
         keys = sorted({k for r in rows for k in r})
@@ -169,6 +181,11 @@ def main() -> int:
                     help="restrict to these benchmark stems")
     ap.add_argument("--sizes", default=None,
                     help="fbs sizes, e.g. 2-8 or 3,5,9")
+    ap.add_argument("--mappers", nargs="*", default=None,
+                    help="override the suite's mapper list (e.g. 'best' to "
+                         "sweep the beyond-parity racing mapper; rows merge "
+                         "into the same aggregate, keyed by the mapper "
+                         "column)")
     args = ap.parse_args()
 
     if args.sizes:
@@ -198,7 +215,7 @@ def main() -> int:
     if args.bench:
         bench_files = [b for b in bench_files if b.stem in args.bench]
     cfgs = list(configs_for(args.suite, bench_files, out_dir,
-                        args.timeout))
+                            args.timeout, args.mappers))
     print(f"{len(cfgs)} configs over {len(bench_files)} benchmarks")
 
     with mp.Pool(args.jobs) as pool:
