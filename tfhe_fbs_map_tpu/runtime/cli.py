@@ -48,6 +48,12 @@ def main(argv=None) -> int:
                          "(steady-state, compile cache warm)")
     ap.add_argument("--test-params", action="store_true",
                     help="use the small insecure test parameter set")
+    ap.add_argument("--p-error", type=float, default=None,
+                    help="per-bootstrap error-probability target for the "
+                         "parameter optimizer (default: the reference "
+                         "pipeline's 4-sigma, ~6.3e-5 — at that target a "
+                         "run of B bootstraps EXPECTS ~6e-5*B bit flips; "
+                         "use e.g. 1e-9 for bit-exactness claims)")
     ap.add_argument("--mesh", default=None, metavar="DP,TP",
                     help="run the executor mesh-parallel: 'DP,TP' device "
                          "counts (e.g. 4,2), 'DP' (tp=1), or 'auto' (all "
@@ -106,8 +112,10 @@ def main(argv=None) -> int:
         if args.test_params:
             params = TEST_PARAMS.with_p(max(p_needed, TEST_PARAMS.p))
         else:
+            kw = ({"max_p_error": args.p_error}
+                  if args.p_error is not None else {})
             sol = optimize(max(p_needed, args.fbs_size or p_needed),
-                           max(1, stats["norm2_linprod"]))
+                           max(1, stats["norm2_linprod"]), **kw)
             if sol is None:
                 print("no parameter set satisfies the error target",
                       file=sys.stderr)
@@ -191,16 +199,27 @@ def main(argv=None) -> int:
         run_s = time.time() - t0
     got = ex.decrypt_outputs(buf)
 
-    errors = 0
+    errors = wrong_bits = 0
     for k, want in oracle.items():
-        if not np.all(np.asarray(want) == got[k]):
+        bad = int(np.sum(np.asarray(want) != got[k]))
+        if bad:
             errors += 1
+            wrong_bits += bad
             print(f"MISMATCH on output {k}: want {np.asarray(want)} "
                   f"got {got[k]}", file=sys.stderr)
 
     total_boots = ex.num_bootstraps * args.batch
+    # honest noise accounting: at the parameter set's per-bootstrap error
+    # probability, a run of `total_boots` bootstraps EXPECTS flips — a
+    # wrong-bit count at or below that expectation is the noise model
+    # working, not a framework bug
+    sol_pe = None if args.keys or args.test_params else sol.p_error
     print(json.dumps({
         "bit_exact": errors == 0,
+        "wrong_bits": wrong_bits,
+        "total_output_bits": len(oracle) * args.batch,
+        "expected_flips": (round(sol_pe * total_boots, 3)
+                           if sol_pe is not None else None),
         "outputs": len(oracle),
         "levels": len(ex.levels),
         "bootstraps": ex.num_bootstraps,
