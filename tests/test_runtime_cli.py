@@ -71,3 +71,33 @@ def test_executor_fast_path_matches_generic():
     got = ex.run_cleartext(vals, seed=2)
     for k in want:
         assert np.all(np.asarray(want[k]) == got[k]), k
+
+
+def test_runner_json_noise_accounting(tmp_path, capsys):
+    """The runner reports wrong-bit counts and the noise model's expected
+    flips (bit_exact=false on a 4-sigma run is statistics, not a bug)."""
+    import json
+
+    circ = build_bench("half_adder")
+    prog = HeuristicMapper(cone_merger="search", fbs_size=4).map(circ)
+    prog.remove_dangling_nodes()
+    lbf = tmp_path / "ha.lbf"
+    with open(lbf, "w") as f:
+        prog.write_lbf(f)
+    rc = run_main([str(lbf), "--batch", "4", "--test-params"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["bit_exact"] is True
+    assert out["wrong_bits"] == 0
+    assert out["total_output_bits"] == out["outputs"] * 4
+    assert out["expected_flips"] is None      # test params: no optimizer sol
+
+
+def test_p_error_flag_tightens_params():
+    """--p-error 1e-9 must pick a parameter set whose model p_error is
+    below the target (used for bit-exactness claims on deep circuits)."""
+    from tfhe_fbs_map_tpu.optimizer import optimize
+
+    four_sigma = optimize(5, 14)
+    strict = optimize(5, 14, max_p_error=1e-9)
+    assert strict is not None and strict.p_error <= 1e-9
+    assert strict.cost >= four_sigma.cost
