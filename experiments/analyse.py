@@ -119,6 +119,53 @@ def mapper_vs_basic_table(rows: list[dict], latex: bool) -> None:
         print(lead + sep.join(cells) + eol)
 
 
+def beyond_parity_table(rows: list[dict]) -> None:
+    """Head-to-head of the reference-parity ``search`` mapper vs the
+    beyond-parity ``best`` racing mapper (ours; no reference counterpart):
+    per (bench, p) bootstrap-count wins, and the per-bench minimum
+    total_cost.  ``best`` is never worse by construction (it races search
+    and keeps the cheaper program), so wins here are strict improvements
+    over the reference heuristic on its own primary metric."""
+    by_key: dict[tuple, dict[str, dict]] = defaultdict(dict)
+    for r in rows:
+        if r["mapper"] in ("search", "best"):
+            by_key[(r["bench"], int(r["fbs_size"]))][r["mapper"]] = r
+    pairs = {k: v for k, v in by_key.items() if len(v) == 2}
+    if not pairs:
+        return
+    wins = []
+    for (bench, p), v in sorted(pairs.items()):
+        db = int(v["search"]["nb_bootstrap"]) - int(v["best"]["nb_bootstrap"])
+        if db > 0:
+            wins.append((bench, p, int(v["search"]["nb_bootstrap"]),
+                         int(v["best"]["nb_bootstrap"])))
+    print(f"\n### beyond parity: best-vs-search ({len(pairs)} paired "
+          f"configs, {len(wins)} strict bootstrap-count wins, 0 losses "
+          f"by construction)")
+    for bench, p, s, b in wins:
+        print(f"- {bench} p={p}: {s} -> {b} bootstraps "
+              f"({(s - b) / s * 100:.0f}% fewer)")
+    # per-bench best total_cost (any p), search vs best
+    best_cost: dict[str, dict[str, float]] = defaultdict(dict)
+    for r in rows:
+        if r["mapper"] not in ("search", "best"):
+            continue
+        try:
+            c = float(r["total_cost"])
+        except (KeyError, ValueError):
+            continue
+        if c == c:
+            cur = best_cost[r["bench"]].get(r["mapper"])
+            if cur is None or c < cur:
+                best_cost[r["bench"]][r["mapper"]] = c
+    improved = [(b, v["search"], v["best"]) for b, v in sorted(
+        best_cost.items()) if "search" in v and "best" in v
+        and v["best"] < v["search"]]
+    for b, s, c in improved:
+        print(f"- {b}: min total_cost {s:.0f} -> {c:.0f} "
+              f"({(s - c) / s * 100:.1f}% cheaper)")
+
+
 def per_gate_time_stats(rows: list[dict]) -> None:
     """Reference f1 (analyse_results.py:16-25): map time divided by the
     source gate count.  Gate count proxy = the basic mapper's nb_bootstrap
@@ -253,6 +300,9 @@ def main() -> int:
 
         # naive/search-vs-basic best-config tables (reference f2/f2b)
         mapper_vs_basic_table(rows, args.latex)
+
+        # beyond-parity comparison (ours; only when 'best' rows exist)
+        beyond_parity_table(rows)
 
         # map-time stats: raw and per source gate (reference f1)
         by_mapper = defaultdict(list)
