@@ -185,3 +185,18 @@ def test_random_dags_equiv():
         _assert_equiv(c, opt, n_vec=64, seed=case)
         c.remove_dangling_nodes()
         assert _gate_count(opt) <= _gate_count(c), case
+
+
+def test_pruned_unused_input_survives():
+    """remove_dangling_nodes() keeps unused inputs in `circuit.inputs` (the
+    interface) while pruning them from `circuit.nodes`; optimize() must
+    still emit them (r2 advisor finding: KeyError in the emission loop)."""
+    c = BitCircuit()
+    a = c.add_input("a")
+    c.add_input("unused")
+    c.set_output("o", c.not_(a))
+    c.remove_dangling_nodes()
+    assert len(c.inputs) == 2
+    opt = optimize(c)
+    assert [i.name for i in opt.inputs] == ["a", "unused"]
+    _assert_equiv(c, opt, n_vec=16, seed=3)

@@ -16,6 +16,45 @@ def test_security_curve_anchors():
     assert abs(min_noise_std_rel(1024) / 2 ** -25.1 - 1) < 0.6
 
 
+def test_security_curve_pinned_to_published_points():
+    """Pin `min_noise_std_rel` against published ~128-bit lattice points so
+    a curve regression can't silently trade security for throughput
+    (VERDICT r2 weak #4).
+
+    Published (n, relative std) choices at the 128-bit level:
+      * TFHE library LWE key: n=630, std 2^-15 of q
+      * TFHE library GLWE key: kN=1024, std 2^-25 of q
+      * TFHE-rs PARAM_MESSAGE_2_CARRY_2 LWE: n=742, std 7.0698e-6 (~2^-17.1)
+      * TFHE-rs PARAM_MESSAGE_2_CARRY_2 GLWE: kN=2048, std 2.9404e-16 (~2^-51.6)
+
+    Two directions:
+      1. our floor must ACCEPT each published choice (floor <= published):
+         rejecting known-secure parameters would silently inflate cost;
+      2. our floor must stay within ~1.5 bits BELOW the two classic points
+         that were chosen essentially ON the estimator minimum — a flatter
+         curve (e.g. coefficient -0.04) would demand far less noise at the
+         same n and lose security.
+    """
+    published = [(630, 2.0 ** -15), (1024, 2.0 ** -25),
+                 (742, 7.069849454709433e-6)]
+    for n, std in published:
+        assert min_noise_std_rel(n) <= std * 1.05, (n, std)
+    # TFHE-rs kN=2048 GLWE (q=2^64, std ~2^-51.6) sits BELOW the q=2^32
+    # representability clamp: our floor stays at the clamp, i.e. strictly
+    # MORE noise than the estimator minimum requires (the safe direction).
+    assert min_noise_std_rel(2048) == 2.0 ** -31 > 2.9403601535432533e-16
+    # on-curve anchors (within 1.5 bits, floor strictly below published)
+    import math
+    for n, std in [(630, 2.0 ** -15), (1024, 2.0 ** -25)]:
+        gap_bits = math.log2(std / min_noise_std_rel(n))
+        assert 0.0 <= gap_bits <= 1.5, (n, gap_bits)
+    # monotone non-increasing until the q=2^32 representability clamp,
+    # which only ever RAISES noise (safe direction)
+    xs = [min_noise_std_rel(n) for n in range(100, 2100, 100)]
+    assert all(a >= b for a, b in zip(xs, xs[1:]))
+    assert min_noise_std_rel(4096) == 2.0 ** -31
+
+
 @pytest.mark.parametrize("p,norm2", [(2, 2), (4, 10), (8, 20), (16, 50)])
 def test_optimize_meets_target(p, norm2):
     sol = optimize(p, norm2)

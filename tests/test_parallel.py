@@ -114,3 +114,13 @@ def test_init_distributed_single_process_noop(monkeypatch):
     mesh = global_mesh(tp=2)
     assert mesh.shape["dp"] * mesh.shape["tp"] == 8
     assert mesh.shape["tp"] == 2
+
+
+@pytest.mark.parametrize("tp", [16, 3, 0])
+def test_global_mesh_rejects_cross_host_tp(tp):
+    """tp must DIVIDE the local device count: tp=16 on an 8-device host
+    would span processes and put the key-contraction psum on DCN (the
+    r2 assert's `tp % local == 0` disjunct wrongly accepted it)."""
+    from tfhe_fbs_map_tpu.parallel.distributed import global_mesh
+    with pytest.raises(AssertionError):
+        global_mesh(tp=tp)

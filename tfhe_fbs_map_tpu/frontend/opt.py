@@ -119,11 +119,19 @@ def _build_aig(circ: BitCircuit) -> tuple[_AIG, dict[int, int], dict[str, int]]:
     aig = _AIG()
     lit: dict[int, int] = {CONST0.nid: _FALSE, CONST1.nid: _TRUE}
     in_lits: dict[int, int] = {}
+    # circ.inputs is the authoritative interface: remove_dangling_nodes()
+    # may prune an unused input from circ.nodes while keeping it here, and
+    # the emission loop below re-creates every interface input.
+    for node in circ.inputs:
+        l = aig.add_input(node.name)
+        lit[node.nid] = l
+        in_lits[node.nid] = l
     for node in circ.nodes:
         if node.kind == "input":
-            l = aig.add_input(node.name)
-            lit[node.nid] = l
-            in_lits[node.nid] = l
+            if node.nid not in in_lits:  # input not in circ.inputs (defensive)
+                l = aig.add_input(node.name)
+                lit[node.nid] = l
+                in_lits[node.nid] = l
         elif node.is_gate:
             fan = [lit[f.nid] for f in node.fanins]
             lit[node.nid] = aig.from_table(fan, node.table)

@@ -72,6 +72,7 @@ def global_mesh(tp: int = 1) -> Mesh:
     network.
     """
     local = jax.local_device_count()
-    assert local % tp == 0 or tp % local == 0, \
-        f"tp={tp} must nest within the {local} local devices"
+    assert tp >= 1 and local % tp == 0, \
+        f"tp={tp} must divide the {local} local devices (a tp group may " \
+        f"not span processes: the key-contraction psum must stay on ICI)"
     return make_mesh(np.asarray(jax.devices()), tp=tp)
