@@ -39,7 +39,14 @@ def main() -> int:
                          "optimizer's picks for larger FBS sizes "
                          "(p16/p32 need --orientation fused_otf: their key "
                          "matrices exceed HBM)")
+    ap.add_argument("--native-p32", action="store_true",
+                    help="run the p32 preset as ONE N=2048 bootstrap per "
+                         "lookup (the pre-r4 path) instead of the staged "
+                         "multi-digit pipeline")
     args = ap.parse_args()
+
+    if args.preset == "p32" and not args.native_p32:
+        return staged_p32_bench(args)
 
     import jax
     import jax.numpy as jnp
@@ -183,6 +190,178 @@ def main() -> int:
         "compile_s": round(compile_s, 2),
         "ms_per_bootstrap": round(1000.0 * elapsed
                                   / (args.batch * args.iters), 4),
+        "errors": n_bad,
+    }
+    print(json.dumps(result))
+    return 1 if n_bad else 0
+
+
+def staged_p32_bench(args) -> int:
+    """p=32 preset: staged multi-digit functional bootstraps (tfhe/staged.py).
+
+    Workload: five random 32-entry LUTs over one shared 5-bit encrypted
+    address; each counted bootstrap is a FULL size-32 lookup (stage-1 size-16
+    FBS at N=1024 + stage-2 size-8 select at N=512 — vs ONE N=2048 rotation
+    on the --native-p32 path).  The five outputs become the next address
+    (pre-scaled wire encodings make every lincomb multiplier 1), so the chain
+    is decrypt-verified end to end: only correct lookups are counted.
+
+    Parameters are ``optimize_staged(32, 4, 2)``'s pick, pinned for
+    stability; the security noise floor comes from the same 128-bit curve as
+    every other preset.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_fbs_map_tpu.ops.blind_rotate import (functional_bootstrap_fast,
+                                                   prepare_fast_keys)
+    from tfhe_fbs_map_tpu.tfhe.encrypt import lwe_phase
+    from tfhe_fbs_map_tpu.tfhe.params import TFHEParams, min_noise_std_rel
+    from tfhe_fbs_map_tpu.tfhe.pbs import build_test_vector
+    from tfhe_fbs_map_tpu.tfhe.staged import (encrypt_wires,
+                                              generate_staged_keys,
+                                              split_node)
+
+    if args.quick:
+        fam1 = TFHEParams(p=16, lwe_dim=16, glwe_dim=1, poly_size=256,
+                          bsk_level=3, bsk_base_log=7, ksk_level=4,
+                          ksk_base_log=4, lwe_noise_std=2.0,
+                          glwe_noise_std=2.0)
+        fam2 = TFHEParams(p=8, lwe_dim=16, glwe_dim=2, poly_size=128,
+                          bsk_level=3, bsk_base_log=7, ksk_level=4,
+                          ksk_base_log=4, lwe_noise_std=2.0,
+                          glwe_noise_std=2.0)
+        args.batch = min(args.batch, 8)
+    else:
+        # optimize_staged(32, sq_norm1=4, sq_norm2=2) pick (pinned)
+        lwe_std = min_noise_std_rel(642) * 2.0 ** 32
+        glwe_std = min_noise_std_rel(1024) * 2.0 ** 32
+        fam1 = TFHEParams(p=16, lwe_dim=642, glwe_dim=1, poly_size=1024,
+                          bsk_level=2, bsk_base_log=8, ksk_level=7,
+                          ksk_base_log=2, lwe_noise_std=lwe_std,
+                          glwe_noise_std=glwe_std)
+        fam2 = TFHEParams(p=8, lwe_dim=642, glwe_dim=2, poly_size=512,
+                          bsk_level=3, bsk_base_log=6, ksk_level=4,
+                          ksk_base_log=3, lwe_noise_std=lwe_std,
+                          glwe_noise_std=glwe_std)
+
+    p, lanes = 32, 5
+    coefs = [1, 2, 4, 8, 16]
+    t0 = time.time()
+    skeys = generate_staged_keys(p, fam1, fam2, seed=1)
+    fast1 = prepare_fast_keys(skeys.keys1, orientation="fused_otf")
+    fast2 = prepare_fast_keys(skeys.keys2, orientation="fused_otf")
+    _ = np.asarray(fast1.bsk_kernels[:1, :1])
+    _ = np.asarray(fast2.bsk_kernels[:1, :1])
+    keygen_s = time.time() - t0
+    print(f"# staged keygen done in {keygen_s:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(2)
+    params_w = skeys.wire_params
+    delta_w, delta2 = params_w.delta, skeys.keys2.params.delta
+    # role scales: stage-1 wants 2*c_i*delta_w on roles 0-3, stage-2 wants
+    # c4*delta_w on role 4 — pre-scaled production makes all multipliers 1
+    scales = [2 * c for c in coefs[:4]] + [coefs[4]]
+    tables = [rng.integers(0, 2, p).tolist() for _ in range(lanes)]
+    splits = [split_node(coefs, 0, t, p) for t in tables]
+    assert all(s is not None for s in splits)
+    tv1s, post1s, tv2s, post2s = [], [], [], []
+    for lane, s in enumerate(splits):
+        tv1, post1 = build_test_vector(s.t1, skeys.keys1.params,
+                                       out_delta=delta2)
+        # lane output is next iteration's role-`lane` wire: emit pre-scaled
+        tv2, post2 = build_test_vector(s.t2, skeys.keys2.params,
+                                       out_delta=scales[lane] * delta_w)
+        tv1s.append(tv1), post1s.append(post1)
+        tv2s.append(tv2), post2s.append(post2)
+
+    batch = args.batch
+    bits = rng.integers(0, 2, (lanes, batch))
+    regs = jnp.stack([jnp.asarray(encrypt_wires(skeys, bits[i], rng,
+                                                scale=scales[i]))
+                      for i in range(lanes)])          # [5, B, kN+1]
+
+    n1, n2 = skeys.keys1.params.poly_size, skeys.keys2.params.poly_size
+    tvs1 = jnp.asarray(np.repeat(np.stack(tv1s), batch, axis=0))  # [5B, N1]
+    tvs2 = jnp.asarray(np.repeat(np.stack(tv2s), batch, axis=0))
+    posts1 = jnp.asarray(np.repeat(np.asarray(post1s, np.int64)
+                                   .astype(np.uint32).astype(np.int32),
+                                   batch))
+    posts2 = jnp.asarray(np.repeat(np.asarray(post2s, np.int64)
+                                   .astype(np.uint32).astype(np.int32),
+                                   batch))
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(regs):
+        lin1 = regs[0] + regs[1] + regs[2] + regs[3]      # [B, d]
+        x1 = jnp.tile(lin1, (lanes, 1))                   # [5B, d]
+        g = functional_bootstrap_fast(fast1, x1, tvs1, posts1)
+        x2 = g + jnp.tile(regs[4], (lanes, 1))
+        out = functional_bootstrap_fast(fast2, x2, tvs2, posts2)
+        return out.reshape(lanes, batch, -1)
+
+    def model_step(bits):
+        addr = sum(bits[i] * coefs[i] for i in range(lanes))
+        return np.stack([np.asarray(tables[i])[addr] for i in range(lanes)])
+
+    t0 = time.time()
+    regs = step(regs)
+    _ = np.asarray(regs[:1, :1, -1:])
+    compile_s = time.time() - t0
+    print(f"# compile+first-run {compile_s:.1f}s", file=sys.stderr)
+    bits = model_step(bits)
+
+    def verify(regs, bits) -> int:
+        key = skeys.extracted_key
+        phases = np.asarray(lwe_phase(key, regs.reshape(lanes * batch, -1)))
+        u = phases.astype(np.uint32).astype(np.float64)
+        got = np.round(u / delta_w).astype(np.int64) % (2 * p)
+        want = (bits * np.asarray(scales)[:, None]).reshape(-1)
+        return int(np.sum(got != want))
+
+    n_bad = verify(regs, bits)
+    if n_bad:
+        print(f"CORRECTNESS FAILURE: {n_bad}/{lanes * batch} wrong",
+              file=sys.stderr)
+
+    import contextlib
+
+    from tfhe_fbs_map_tpu.utils.profiling import jax_trace
+    trace_cm = jax_trace(args.trace) if args.trace \
+        else contextlib.nullcontext()
+    t0 = time.time()
+    with trace_cm:
+        for _ in range(args.iters):
+            regs = step(regs)
+        _ = np.asarray(regs[:1, :1, -1:])
+    elapsed = time.time() - t0
+    for _ in range(args.iters):
+        bits = model_step(bits)
+    n_bad += verify(regs, bits)
+    if n_bad:
+        print(f"CORRECTNESS FAILURE (timed loop): {n_bad} wrong",
+              file=sys.stderr)
+
+    boots = lanes * batch * args.iters      # one staged p32 lookup per lane
+    boots_per_sec = boots / elapsed
+    result = {
+        "metric": "bootstraps_per_sec_per_chip",
+        "value": round(boots_per_sec, 2),
+        "unit": "boots/s",
+        "vs_baseline": round(boots_per_sec / 1000.0, 3),
+        "batch": lanes * batch,
+        "staged": True,
+        "params": {"n": fam1.lwe_dim, "p": p,
+                   "fam1": {"k": fam1.glwe_dim, "N": n1,
+                            "l_bsk": fam1.bsk_level},
+                   "fam2": {"k": fam2.glwe_dim, "N": n2,
+                            "l_bsk": fam2.bsk_level}},
+        "device": str(jax.devices()[0]),
+        "keygen_s": round(keygen_s, 2),
+        "compile_s": round(compile_s, 2),
+        "ms_per_bootstrap": round(1000.0 * elapsed / boots, 4),
         "errors": n_bad,
     }
     print(json.dumps(result))

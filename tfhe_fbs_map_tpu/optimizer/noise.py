@@ -97,6 +97,45 @@ def var_bsk_quantization(n: int, k: int, N: int, l: int, base_log: int,
     return n * l * (k + 1) * N * per_product * mask_amp
 
 
+def p_error_from_var(p: int, v_total: float) -> float:
+    """Decode-error probability at the size-p half-window q/(4p)."""
+    if v_total <= 0:
+        return 0.0
+    return math.erfc((Q / (4.0 * p)) / (math.sqrt(v_total) * math.sqrt(2.0)))
+
+
+def staged_p_errors(p: int, sq_norm1: float, sq_norm2: float, n: int,
+                    k1: int, N1: int, bl1: int, bb1: int, kl1: int, kb1: int,
+                    k2: int, N2: int, bl2: int, bb2: int, kl2: int, kb2: int,
+                    lwe_noise_std: float, glwe1_noise_std: float,
+                    glwe2_noise_std: float,
+                    wires_from_stage2: bool = True) -> tuple[float, float]:
+    """(stage-1, stage-2) error probabilities of one staged size-p node
+    (tfhe/staged.py): stage 1 is a size-(p/2) FBS of the re-gridded x_lo
+    lincomb, stage 2 a size-8 FBS of z = G + 4*x_hi.
+
+    ``sq_norm1`` / ``sq_norm2``: effective squared norms of the two stage
+    lincombs over *wire* ciphertexts (after any scaled-wire-encoding
+    reduction; the stage-1 re-grid multiplier 2 and the stage-2 select
+    multiplier m are part of the caller's effective norm when wires are
+    not pre-scaled).  In the all-staged regime every circuit wire is a
+    stage-2 output, so wires carry the stage-2 fresh-bootstrap variance
+    (``wires_from_stage2=False`` gives the conservative max over the two
+    families).  Stage 2 additionally eats the stage-1 output G at
+    multiplier 1.
+    """
+    v1 = var_blind_rotate(n, k1, N1, bl1, bb1, glwe1_noise_std)
+    v2 = var_blind_rotate(n, k2, N2, bl2, bb2, glwe2_noise_std)
+    v_wire = v2 if wires_from_stage2 else max(v1, v2)
+    vt1 = (sq_norm1 * v_wire
+           + var_keyswitch(k1, N1, kl1, kb1, lwe_noise_std)
+           + var_modswitch(n, N1))
+    vt2 = (v1 + sq_norm2 * v_wire
+           + var_keyswitch(k2, N2, kl2, kb2, lwe_noise_std)
+           + var_modswitch(n, N2))
+    return p_error_from_var(p // 2, vt1), p_error_from_var(8, vt2)
+
+
 # 4-sigma default target, as in the reference pipeline
 # (concrete-optimizer `_4_SIGMA`).
 P_ERROR_4_SIGMA = 1.0 - math.erf(4.0 / math.sqrt(2.0))

@@ -27,7 +27,10 @@ from dataclasses import dataclass
 from ..tfhe.params import TFHEParams, min_noise_std_rel, Q
 from .noise import P_ERROR_4_SIGMA, p_error_atomic
 
-__all__ = ["Solution", "optimize", "bootstrap_cost_us"]
+__all__ = ["Solution", "optimize", "bootstrap_cost_us", "StagedSolution",
+           "optimize_staged"]
+
+from ..tfhe.staged import SELECT_P
 
 # TPU v5e-class roofline constants (per chip)
 MXU_INT8_OPS = 394e12          # ops/s (2 ops per MAC)
@@ -140,6 +143,107 @@ def _optimize_inner(p: int, sq_norm2: float, max_p_error: float,
                                     lwe_noise_std=lwe_std,
                                     glwe_noise_std=glwe_std)
                                 best = Solution(params, cost, perr, 4 - drop)
+    return best
+
+
+@dataclass(frozen=True)
+class StagedSolution:
+    """Joint parameter pick for the staged multi-digit bootstrap
+    (tfhe/staged.py): two families sharing n and the extracted dimension."""
+
+    params1: TFHEParams        # stage-1 family (p field = p//2)
+    params2: TFHEParams        # stage-2 family (p field = 8)
+    cost: float                # total microseconds per staged bootstrap
+    p_error: float             # sum of the two stage error probabilities
+
+
+def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
+                    max_p_error: float = P_ERROR_4_SIGMA,
+                    big_dim: int = 1024,
+                    wires_from_stage2: bool = True) -> StagedSolution | None:
+    """Cheapest staged-pipeline parameters for a size-p node.
+
+    Default norms assume scaled wire encodings (every wire pre-scaled to
+    its consumer coefficient: stage-1 eats |A| unit-multiplier wires,
+    stage-2 eats G plus |B| unit-multiplier wires).  The two families
+    share the small LWE dimension n and the extracted key dimension
+    ``big_dim`` (one master GLWE secret), so the search is joint.  Each
+    stage must meet ``max_p_error`` on its own (same contract as the
+    reference pipeline's per-bootstrap `_4_SIGMA`).
+    """
+    from .noise import (p_error_from_var, var_blind_rotate, var_keyswitch,
+                        var_modswitch)
+    if p % 2 or p < 8:
+        return None
+    shapes = [(k, big_dim // k) for k in (1, 2, 4)
+              if big_dim % k == 0 and big_dim // k >= 2 * SELECT_P]
+
+    def candidates(n: int, min_N: int) -> list:
+        """(cost, v_wire, ks_var, ms_var, k, N, bl, bb, kl, kb), cost-sorted.
+
+        Per-(k,N,bl,kl) cost cell, only the noise-minimal (bb, kb) matter:
+        keep the best v_wire per (k,N,bl) x bb and best ks_var per (kl,kb)."""
+        lwe_std = min_noise_std_rel(n) * Q
+        out = []
+        for k, N in shapes:
+            if N < min_N:
+                continue
+            g = min_noise_std_rel(k * N) * Q
+            ms = var_modswitch(n, N)
+            ks_best = {}
+            for kb in range(2, 9):
+                for kl in range(1, 9):
+                    if kb * kl > 32:
+                        continue
+                    v = var_keyswitch(k, N, kl, kb, lwe_std)
+                    if kl not in ks_best or v < ks_best[kl][0]:
+                        ks_best[kl] = (v, kb)
+            for bb in range(4, 9):
+                for bl in range(1, 6):
+                    vw = var_blind_rotate(n, k, N, bl, bb, g)
+                    for kl, (ksv, kb) in ks_best.items():
+                        out.append((bootstrap_cost_us(n, k, N, bl, kl),
+                                    vw, ksv, ms, k, N, bl, bb, kl, kb))
+        out.sort(key=lambda t: t[0])
+        return out
+
+    best: StagedSolution | None = None
+    for n in range(450, 1100, 32):
+        lwe_std = min_noise_std_rel(n) * Q
+        c2s = candidates(n, 2 * SELECT_P)
+        c1s = candidates(n, p)          # stage-1 table has p/2 <= p entries
+        if not c2s or not c1s:
+            continue
+        min_c1 = c1s[0][0]
+        for cost2, v2, ks2, ms2, k2, N2, bl2, bb2, kl2, kb2 in c2s:
+            if best is not None and cost2 + min_c1 >= best.cost:
+                break
+            for cost1, v1, ks1, ms1, k1, N1, bl1, bb1, kl1, kb1 in c1s:
+                tot = cost1 + cost2
+                if best is not None and tot >= best.cost:
+                    break
+                # In the all-staged regime every circuit wire is a stage-2
+                # output, so wire variance is v2; a mixed executor passes
+                # wires_from_stage2=False for the conservative bound.
+                vw = v2 if wires_from_stage2 else max(v1, v2)
+                e1 = p_error_from_var(p // 2, sq_norm1 * vw + ks1 + ms1)
+                if e1 > max_p_error:
+                    continue
+                e2 = p_error_from_var(SELECT_P, v1 + sq_norm2 * vw + ks2 + ms2)
+                if e2 > max_p_error:
+                    continue
+                pr1 = TFHEParams(p=p // 2, lwe_dim=n, glwe_dim=k1,
+                                 poly_size=N1, bsk_level=bl1, bsk_base_log=bb1,
+                                 ksk_level=kl1, ksk_base_log=kb1,
+                                 lwe_noise_std=lwe_std,
+                                 glwe_noise_std=min_noise_std_rel(k1 * N1) * Q)
+                pr2 = TFHEParams(p=SELECT_P, lwe_dim=n, glwe_dim=k2,
+                                 poly_size=N2, bsk_level=bl2, bsk_base_log=bb2,
+                                 ksk_level=kl2, ksk_base_log=kb2,
+                                 lwe_noise_std=lwe_std,
+                                 glwe_noise_std=min_noise_std_rel(k2 * N2) * Q)
+                best = StagedSolution(pr1, pr2, tot, e1 + e2)
+                break       # c1s is cost-sorted: first feasible is best here
     return best
 
 

@@ -84,14 +84,27 @@ def load_keys(path: str) -> TFHEKeys:
                         ksk=jnp.asarray(z["ksk"]))
 
 
-def generate_keys(params: TFHEParams, seed: int = 0) -> TFHEKeys:
-    rng = np.random.default_rng(seed)
+def generate_keys(params: TFHEParams, seed: int = 0, *,
+                  rng: np.random.Generator | None = None,
+                  lwe_key: np.ndarray | None = None,
+                  glwe_key: np.ndarray | None = None) -> TFHEKeys:
+    """``lwe_key`` / ``glwe_key``: optional pre-sampled binary secrets —
+    used by the staged bootstrap (:mod:`.staged`) to build two parameter
+    families over ONE master GLWE secret and one shared small key, so that
+    their sample-extracted big-LWE keys coincide (``extracted_key`` is the
+    flattened GLWE key in natural order, independent of the (k, N) view)."""
+    rng = np.random.default_rng(seed) if rng is None else rng
     n, k, N = params.lwe_dim, params.glwe_dim, params.poly_size
     l_b, b_b = params.bsk_level, params.bsk_base_log
     l_k, b_k = params.ksk_level, params.ksk_base_log
 
-    lwe_key_np = rng.integers(0, 2, n, dtype=np.int64).astype(np.int32)
-    glwe_key_np = rng.integers(0, 2, (k, N), dtype=np.int64).astype(np.int32)
+    lwe_key_np = (rng.integers(0, 2, n, dtype=np.int64).astype(np.int32)
+                  if lwe_key is None else
+                  np.asarray(lwe_key, dtype=np.int32))
+    glwe_key_np = (rng.integers(0, 2, (k, N), dtype=np.int64).astype(np.int32)
+                   if glwe_key is None else
+                   np.asarray(glwe_key, dtype=np.int32).reshape(k, N))
+    assert lwe_key_np.shape == (n,) and glwe_key_np.shape == (k, N)
     lwe_key = jnp.asarray(lwe_key_np)
     glwe_key = jnp.asarray(glwe_key_np)
 

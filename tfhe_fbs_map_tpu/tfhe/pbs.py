@@ -38,15 +38,28 @@ __all__ = ["build_test_vector", "keyswitch", "blind_rotate", "sample_extract",
 # Test-vector encoding (host-side, per distinct table)
 # ---------------------------------------------------------------------------
 
-def build_test_vector(table, params: TFHEParams) -> tuple[np.ndarray, int]:
+def build_test_vector(table, params: TFHEParams,
+                      out_delta: int | None = None) -> tuple[np.ndarray, int]:
     """(test polynomial [N] int32, post-rotation body offset).
 
     The polynomial holds ``H[floor(t*p/N)]`` so that after blind rotation by
     the (half-window pre-offset) phase of a ciphertext encoding value ``x``,
     the constant coefficient is ``T[x]*delta - post`` — adding ``post`` to
     the extracted body yields a fresh encryption of ``T[x]*delta``.
+
+    ``out_delta``: torus units per table unit of the OUTPUT encoding
+    (default ``params.delta``, i.e. input and output share the grid).
+    Output scaling is noise-free — the test-vector values carry no noise —
+    so a bootstrap can emit ``T[x]*c*delta`` at the same output variance as
+    ``T[x]*delta``.  This is the basis of the scaled-wire-encoding
+    optimization (a wire consumed with coefficient ``c`` is produced
+    pre-scaled, turning the consumer's lincomb noise amplification ``c^2``
+    into 1) and of the staged multi-digit bootstrap
+    (:mod:`tfhe_fbs_map_tpu.tfhe.staged`), whose stage-1 emits a packed
+    2-bit value on the stage-2 grid.
     """
-    p, N, delta = params.p, params.poly_size, params.delta
+    p, N = params.p, params.poly_size
+    delta = params.delta if out_delta is None else int(out_delta)
     table = list(table)
     tau = len(table)
     assert 1 <= tau <= 2 * p, f"table length {tau} vs fbs size {p}"
