@@ -233,16 +233,20 @@ def staged_p32_bench(args) -> int:
                           glwe_noise_std=2.0)
         args.batch = min(args.batch, 8)
     else:
-        # optimize_staged(32, sq_norm1=4, sq_norm2=2) pick (pinned)
-        lwe_std = min_noise_std_rel(642) * 2.0 ** 32
+        # optimize_staged(32, sq_norm1=4, sq_norm2=2, max_p_error=1e-6) pick
+        # (pinned).  The bench gates on errors == 0 over ~5-10k verified
+        # lookups, so the preset targets 1e-6 per lookup rather than the
+        # sweep pipeline's 4-sigma contract (the 4-sigma pick measured
+        # 3247 boots/s with 2/4680 decode errors — PERF.md round 4).
+        lwe_std = min_noise_std_rel(674) * 2.0 ** 32
         glwe_std = min_noise_std_rel(1024) * 2.0 ** 32
-        fam1 = TFHEParams(p=16, lwe_dim=642, glwe_dim=1, poly_size=1024,
-                          bsk_level=2, bsk_base_log=8, ksk_level=7,
+        fam1 = TFHEParams(p=16, lwe_dim=674, glwe_dim=1, poly_size=1024,
+                          bsk_level=3, bsk_base_log=6, ksk_level=7,
                           ksk_base_log=2, lwe_noise_std=lwe_std,
                           glwe_noise_std=glwe_std)
-        fam2 = TFHEParams(p=8, lwe_dim=642, glwe_dim=2, poly_size=512,
-                          bsk_level=3, bsk_base_log=6, ksk_level=4,
-                          ksk_base_log=3, lwe_noise_std=lwe_std,
+        fam2 = TFHEParams(p=8, lwe_dim=674, glwe_dim=2, poly_size=512,
+                          bsk_level=4, bsk_base_log=5, ksk_level=3,
+                          ksk_base_log=4, lwe_noise_std=lwe_std,
                           glwe_noise_std=glwe_std)
 
     p, lanes = 32, 5

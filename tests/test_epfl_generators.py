@@ -20,8 +20,22 @@ def _word(vals, prefix, width):
                for i in range(width))
 
 
+def test_multiplier_square(rng):
+    for name in ("multiplier", "square"):
+        c = EPFL_GENERATORS[name]()
+        vals = {i.name: rng.integers(0, 2, 8) for i in c.inputs}
+        out = c.eval(vals)
+        a = _word(vals, "a", 64)
+        b = _word({f"b{i}": vals[f"b{i}"] for i in range(64)}, "b", 64) \
+            if name == "multiplier" else a
+        got = sum(np.asarray(out[f"p{i}"], dtype=object) << i
+                  for i in range(128))
+        assert np.all(got == a * b), name
+
+
 def test_epfl_signature_scale():
-    sigs = {"adder": (256, 129), "bar": (135, 128), "max": (512, 130)}
+    sigs = {"adder": (256, 129), "bar": (135, 128), "max": (512, 130),
+            "multiplier": (128, 128), "square": (64, 128)}
     for name, (n_in, n_out) in sigs.items():
         c = EPFL_GENERATORS[name]()
         c.remove_dangling_nodes()
@@ -72,7 +86,8 @@ def test_sweep_ensure_epfl(tmp_path):
     from experiments.sweep import ensure_epfl
     ensure_epfl(tmp_path)
     blifs = sorted(p.name for p in tmp_path.glob("*.blif"))
-    assert blifs == ["adder.blif", "bar.blif", "max.blif"]
+    assert blifs == ["adder.blif", "bar.blif", "max.blif",
+                     "multiplier.blif", "square.blif"]
     # regeneration is idempotent and respects fetched files
     marker = tmp_path / "adder.blif"
     before = marker.read_text()

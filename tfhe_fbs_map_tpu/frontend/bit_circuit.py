@@ -136,6 +136,8 @@ class BitCircuit:
             return b
         if b is CONST1:
             return a
+        if a is b:        # x AND x = x (aliased wires after const folding)
+            return a
         assert a.name != b.name, "and_ with identical fanins"
         return self.lut([a, b], (0, 0, 0, 1), name, kind=K_AND)
 
@@ -148,6 +150,8 @@ class BitCircuit:
             return a
         if b is CONST1:
             return self.not_(a)
+        if a is b:        # x XOR x = 0 (aliased wires after const folding)
+            return CONST0
         assert a.name != b.name, "xor_ with identical fanins"
         return self.lut([a, b], (0, 1, 1, 0), name, kind=K_XOR)
 
@@ -157,6 +161,8 @@ class BitCircuit:
         if a is CONST0:
             return b
         if b is CONST0:
+            return a
+        if a is b:        # x OR x = x (aliased wires after const folding)
             return a
         assert a.name != b.name, "or_ with identical fanins"
         return self.lut([a, b], (0, 1, 1, 1), name, kind=K_OR)

@@ -355,10 +355,58 @@ def epfl_max(width: int = _EPFL_WIDTH) -> BitCircuit:
     return b.circuit
 
 
+def _csa_mult(b, xs, ys):
+    """Carry-save array multiplier over DSL nodes (LSB-first lists)."""
+    n, m = len(xs), len(ys)
+    rows = [[xs[i] & ys[j] for i in range(n)] for j in range(m)]
+    acc = rows[0]
+    for j in range(1, m):
+        shifted = acc[j:]
+        new, c = [], None
+        for i in range(n):
+            x = rows[j][i]
+            y = shifted[i] if i < len(shifted) else None
+            if y is None and c is None:
+                new.append(x)
+            elif y is None:
+                new.append(x ^ c)
+                c = x & c
+            elif c is None:
+                new.append(x ^ y)
+                c = x & y
+            else:
+                s1 = x ^ y
+                new.append(s1 ^ c)
+                c = (x & y) | (s1 & c)
+        acc = acc[:j] + new + ([c] if c is not None else [])
+    return acc[:n + m]
+
+
+def epfl_multiplier(width: int = 64) -> BitCircuit:
+    """EPFL ``multiplier``: 64x64 -> 128 (exact function, CSA-array form)."""
+    b = CircuitBuilder()
+    xs = [b.input(f"a{i}") for i in range(width)]
+    ys = [b.input(f"b{i}") for i in range(width)]
+    for i, p in enumerate(_csa_mult(b, xs, ys)):
+        p.output(f"p{i}")
+    return b.circuit
+
+
+def epfl_square(width: int = 64) -> BitCircuit:
+    """EPFL ``square``: x^2 of a 64-bit input (exact function)."""
+    b = CircuitBuilder()
+    xs = [b.input(f"a{i}") for i in range(width)]
+    for i, p in enumerate(_csa_mult(b, xs, list(xs))):
+        p.output(f"p{i}")
+    return b.circuit
+
+
 EPFL_GENERATORS = {
     "adder": epfl_adder,
     "bar": epfl_bar,
     "max": epfl_max,
+    "multiplier": epfl_multiplier,
+    "square": epfl_square,
 }
 
 
