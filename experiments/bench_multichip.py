@@ -32,9 +32,24 @@ def main() -> int:
     ap.add_argument("--orientation", default="fused_otf",
                     choices=["fused", "fused_otf", "matmul"])
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="force the CPU backend with N virtual devices "
+                         "(scaling-efficiency study; the axon sitecustomize "
+                         "overrides JAX_PLATFORMS, so the flag pins the "
+                         "platform in-process)")
     args = ap.parse_args()
 
+    if args.cpu_devices:
+        import os
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count"
+                  f"={args.cpu_devices}").strip()
     import jax
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from tfhe_fbs_map_tpu.ops.blind_rotate import prepare_fast_keys

@@ -1,0 +1,73 @@
+"""Data-parallel scaling-efficiency study on the virtual CPU mesh.
+
+Runs ``bench_multichip`` at dp in {1, 2, 4, 8} with a FIXED per-chip batch
+(weak scaling: ideal = flat per-chip throughput) and reports
+
+    efficiency(n) = throughput(n) / (n * throughput(1))
+
+Only one real TPU chip is tunneled into this environment, so the committed
+number (outputs/scaling_virtual.json) comes from the 8-virtual-device CPU
+mesh — the same shard_map/GSPMD code path the real slice would run, with
+host cores standing in for chips (no ICI, so this bounds partitioning +
+collective-free dp overhead, not interconnect).  North-star >= 80%
+(BASELINE.json).
+
+Usage:  python experiments/scaling_study.py [--batch-per-chip 48]
+"""
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_point(n_dev: int, batch: int, iters: int, orientation: str) -> dict:
+    cmd = [sys.executable, str(REPO / "experiments" / "bench_multichip.py"),
+           "--cpu-devices", str(n_dev), "--batch-per-chip", str(batch),
+           "--iters", str(iters), "--orientation", orientation, "--quick"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-per-chip", type=int, default=48)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--orientation", default="fused_otf")
+    ap.add_argument("--out", default="outputs/scaling_virtual.json")
+    args = ap.parse_args()
+
+    points = []
+    for n in (1, 2, 4, 8):
+        r = run_point(n, args.batch_per_chip, args.iters, args.orientation)
+        assert r["errors"] == 0, f"dp={n}: {r['errors']} decode errors"
+        points.append(r)
+        print(f"dp={n}: {r['value']} boots/s total "
+              f"({r['boots_per_sec_per_chip']}/chip)")
+
+    base = points[0]["value"]
+    effs = {p["devices"]: round(p["value"] / (p["devices"] * base), 3)
+            for p in points}
+    result = {
+        "metric": "dp_scaling_efficiency_virtual_mesh",
+        "batch_per_chip": args.batch_per_chip,
+        "orientation": args.orientation,
+        "points": points,
+        "efficiency": effs,
+        "efficiency_dp8": effs[8],
+        "note": "8 virtual CPU devices (one real TPU chip tunneled); "
+                "shard_map dp path, keys replicated, no collectives",
+    }
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"efficiency": effs, "out": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
