@@ -151,7 +151,7 @@ class StagedSolution:
     """Joint parameter pick for the staged multi-digit bootstrap
     (tfhe/staged.py): two families sharing n and the extracted dimension."""
 
-    params1: TFHEParams        # stage-1 family (p field = p//2)
+    params1: TFHEParams        # stage-1 family (p//2 or p grid)
     params2: TFHEParams        # stage-2 family (p field = 8)
     cost: float                # total microseconds per staged bootstrap
     p_error: float             # sum of the two stage error probabilities
@@ -175,6 +175,10 @@ def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
                         var_modswitch)
     if p % 2 or p < 8:
         return None
+    # fam1 grid: p/2 when two-stage splits apply (p >= 32); the p grid
+    # itself for p <= 16, where fam1 is the catch-all single-boot family
+    # and fam2 still takes the small tables (runtime/executor.py routing)
+    stage1_p = p // 2 if p >= 2 * SELECT_P * 2 else p
     shapes = [(k, big_dim // k) for k in (1, 2, 4)
               if big_dim % k == 0 and big_dim // k >= 2 * SELECT_P]
 
@@ -211,7 +215,7 @@ def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
     for n in range(450, 1100, 32):
         lwe_std = min_noise_std_rel(n) * Q
         c2s = candidates(n, 2 * SELECT_P)
-        c1s = candidates(n, p)          # stage-1 table has p/2 <= p entries
+        c1s = candidates(n, 2 * stage1_p)
         if not c2s or not c1s:
             continue
         min_c1 = c1s[0][0]
@@ -226,13 +230,14 @@ def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
                 # output, so wire variance is v2; a mixed executor passes
                 # wires_from_stage2=False for the conservative bound.
                 vw = v2 if wires_from_stage2 else max(v1, v2)
-                e1 = p_error_from_var(p // 2, sq_norm1 * vw + ks1 + ms1)
+                e1 = p_error_from_var(stage1_p,
+                                      sq_norm1 * vw + ks1 + ms1)
                 if e1 > max_p_error:
                     continue
                 e2 = p_error_from_var(SELECT_P, v1 + sq_norm2 * vw + ks2 + ms2)
                 if e2 > max_p_error:
                     continue
-                pr1 = TFHEParams(p=p // 2, lwe_dim=n, glwe_dim=k1,
+                pr1 = TFHEParams(p=stage1_p, lwe_dim=n, glwe_dim=k1,
                                  poly_size=N1, bsk_level=bl1, bsk_base_log=bb1,
                                  ksk_level=kl1, ksk_base_log=kb1,
                                  lwe_noise_std=lwe_std,

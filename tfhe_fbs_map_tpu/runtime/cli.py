@@ -66,6 +66,13 @@ def main(argv=None) -> int:
                     help="bootstrap kernel path (auto: fused Pallas on TPU "
                          "— streamed key matrices when they fit HBM, "
                          "on-the-fly tiles otherwise; generic on CPU)")
+    ap.add_argument("--staged", default="auto", choices=["auto", "on", "off"],
+                    help="staged dual-family pipeline (tfhe/staged.py): "
+                         "large LUTs split into a size-p/2 + size-8 pair, "
+                         "small ones run on the cheap family, wires are "
+                         "produced pre-scaled.  auto = use it when the "
+                         "program compiles onto it AND the optimizer says "
+                         "it is cheaper than one size-p bootstrap")
     args = ap.parse_args(argv)
 
     from ..frontend.lut_program import parse_lbf
@@ -104,8 +111,43 @@ def main(argv=None) -> int:
     p_needed = prog.fbs_size or prog.min_fbs_size()
     print(f"# program: {stats} (p={p_needed})", file=sys.stderr)
 
+    # --- staged-pipeline probe -------------------------------------------
+    # compile the program onto the dual-family plan WITHOUT keys to learn
+    # whether it is realizable and what its post-scaling norms are
+    staged_sol = None
+    p_run = max(p_needed, args.fbs_size or p_needed)
+    if args.staged != "off" and not args.keys and not args.test_params \
+            and p_run >= 16 and p_run % 2 == 0:
+        from ..optimizer.optimizer import optimize_staged
+        from ..tfhe import TFHEParams
+        from ..tfhe.keys import TFHEKeys
+        from ..tfhe.staged import SELECT_P, StagedKeys
+        p1 = p_run // 2 if p_run >= 32 else p_run
+        mk = lambda pp, k, N: TFHEKeys(  # noqa: E731
+            params=TFHEParams(p=pp, lwe_dim=16, glwe_dim=k, poly_size=N,
+                              bsk_level=1, bsk_base_log=8, ksk_level=1,
+                              ksk_base_log=8, lwe_noise_std=0.0,
+                              glwe_noise_std=0.0),
+            lwe_key=None, glwe_key=None, bsk=None, ksk=None)
+        probe_keys = StagedKeys(p=p_run, keys1=mk(p1, 1, 2048),
+                                keys2=mk(SELECT_P, 2, 1024))
+        try:
+            probe = CircuitExecutor(prog, probe_keys)
+            kw = ({"max_p_error": args.p_error}
+                  if args.p_error is not None else {})
+            staged_sol = optimize_staged(p_run, probe.eff_norm1,
+                                         probe.eff_norm2, **kw)
+        except ValueError as e:
+            if args.staged == "on":
+                print(f"--staged on: {e}", file=sys.stderr)
+                return 1
+            print(f"# staged: not realizable ({str(e)[:120]}...)",
+                  file=sys.stderr)
+
     # --- keys -----------------------------------------------------------
     bsk_limbs = 4
+    sol = None
+    use_staged = False
     if args.keys:
         keys = load_keys(args.keys)
     else:
@@ -114,21 +156,37 @@ def main(argv=None) -> int:
         else:
             kw = ({"max_p_error": args.p_error}
                   if args.p_error is not None else {})
-            sol = optimize(max(p_needed, args.fbs_size or p_needed),
-                           max(1, stats["norm2_linprod"]), **kw)
-            if sol is None:
+            sol = optimize(p_run, max(1, stats["norm2_linprod"]), **kw)
+            if sol is None and staged_sol is None:
                 print("no parameter set satisfies the error target",
                       file=sys.stderr)
                 return 1
-            params = sol.params
-            bsk_limbs = sol.bsk_limbs  # optimizer-validated quantized BSK
-            print(f"# params: {params} (bsk_limbs={bsk_limbs})",
+            use_staged = staged_sol is not None and (
+                args.staged == "on" or sol is None
+                or staged_sol.cost < sol.cost)
+        if use_staged:
+            from ..tfhe.staged import generate_staged_keys
+            print(f"# staged params: fam1={staged_sol.params1} "
+                  f"fam2={staged_sol.params2} "
+                  f"(cost {staged_sol.cost:.0f}us/boot vs native "
+                  f"{sol.cost if sol else float('nan'):.0f})",
                   file=sys.stderr)
-        t0 = time.time()
-        keys = generate_keys(params, seed=args.seed)
-        print(f"# keygen: {time.time() - t0:.1f}s", file=sys.stderr)
-        if args.save_keys:
-            save_keys(args.save_keys, keys)
+            t0 = time.time()
+            keys = generate_staged_keys(p_run, staged_sol.params1,
+                                        staged_sol.params2, seed=args.seed)
+            print(f"# staged keygen: {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+        else:
+            if not args.test_params:
+                params = sol.params
+                bsk_limbs = sol.bsk_limbs  # optimizer-validated quantized BSK
+                print(f"# params: {params} (bsk_limbs={bsk_limbs})",
+                      file=sys.stderr)
+            t0 = time.time()
+            keys = generate_keys(params, seed=args.seed)
+            print(f"# keygen: {time.time() - t0:.1f}s", file=sys.stderr)
+            if args.save_keys:
+                save_keys(args.save_keys, keys)
 
     # --- encrypt / run / decrypt / verify ------------------------------
     rng = np.random.default_rng(args.seed)
@@ -143,25 +201,35 @@ def main(argv=None) -> int:
 
         from ..optimizer.optimizer import MATMUL_HBM_BUDGET
         from ..ops.blind_rotate import prepare_fast_keys
-        pp = keys.params
-        k1 = pp.glwe_dim + 1
-        mat_bytes = (pp.lwe_dim * (k1 * pp.bsk_level * pp.poly_size)
-                     * 4 * k1 * pp.poly_size)
-        orient = args.orientation
-        if orient == "auto":
+
+        def pick_orient(pp):
+            if args.orientation != "auto":
+                return args.orientation
             if jax.default_backend() != "tpu" or pp.bsk_base_log > 8:
-                orient = None
-            elif mat_bytes <= MATMUL_HBM_BUDGET:
-                orient = "fused"
-            else:
-                orient = "fused_otf"
-        if orient:
-            t0 = time.time()
-            kw = ({"bsk_limbs": bsk_limbs}
-                  if orient in ("matmul", "fused", "fused_otf") else {})
-            fast = prepare_fast_keys(keys, orientation=orient, **kw)
-            print(f"# fast keys ({orient}): {time.time() - t0:.1f}s",
-                  file=sys.stderr)
+                return None
+            k1 = pp.glwe_dim + 1
+            mat_bytes = (pp.lwe_dim * (k1 * pp.bsk_level * pp.poly_size)
+                         * 4 * k1 * pp.poly_size)
+            return "fused" if mat_bytes <= MATMUL_HBM_BUDGET else "fused_otf"
+
+        if use_staged:
+            o1, o2 = pick_orient(keys.keys1.params), \
+                pick_orient(keys.keys2.params)
+            if o1 and o2:
+                t0 = time.time()
+                fast = (prepare_fast_keys(keys.keys1, orientation=o1),
+                        prepare_fast_keys(keys.keys2, orientation=o2))
+                print(f"# staged fast keys ({o1}+{o2}): "
+                      f"{time.time() - t0:.1f}s", file=sys.stderr)
+        else:
+            orient = pick_orient(keys.params)
+            if orient:
+                t0 = time.time()
+                kw = ({"bsk_limbs": bsk_limbs}
+                      if orient in ("matmul", "fused", "fused_otf") else {})
+                fast = prepare_fast_keys(keys, orientation=orient, **kw)
+                print(f"# fast keys ({orient}): {time.time() - t0:.1f}s",
+                      file=sys.stderr)
 
     mesh = None
     if args.mesh:
@@ -213,8 +281,10 @@ def main(argv=None) -> int:
     # probability, a run of `total_boots` bootstraps EXPECTS flips — a
     # wrong-bit count at or below that expectation is the noise model
     # working, not a framework bug
-    sol_pe = None if args.keys or args.test_params else sol.p_error
+    sol_pe = None if args.keys or args.test_params else (
+        staged_sol.p_error if use_staged else sol.p_error)
     print(json.dumps({
+        "staged": use_staged,
         "bit_exact": errors == 0,
         "wrong_bits": wrong_bits,
         "total_output_bits": len(oracle) * args.batch,

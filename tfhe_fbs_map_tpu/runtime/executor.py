@@ -50,6 +50,31 @@ class LevelPlan:
 
 
 @dataclass
+class StagedLevelPlan:
+    """Static tensors for one level of staged (two-family) bootstraps.
+
+    Stage 1: the re-gridded x_lo lincomb through the size-(p/2) family;
+    stage 2: G + the branch lincomb through the size-8 select family
+    (tfhe/staged.py).  Coefficients are post-scaled-wire-encoding
+    multipliers (wires are produced at the gcd of their consumers' needed
+    torus scales, so most multipliers collapse to 1)."""
+
+    wire_idx1: np.ndarray    # [nb, T]
+    coefs1: np.ndarray       # [nb, T]
+    consts1: np.ndarray      # [nb]
+    tvs1: np.ndarray         # [nb, N1]
+    posts1: np.ndarray       # [nb]
+    out_rows1: np.ndarray    # [nb] (dummy for split rows; real for singles)
+    wire_idx2: np.ndarray    # [nb, T]
+    coefs2: np.ndarray       # [nb, T]
+    consts2: np.ndarray      # [nb]
+    tvs2: np.ndarray         # [nb, N2]
+    posts2: np.ndarray       # [nb]
+    out_rows: np.ndarray     # [nb]
+    n_splits: int = 0        # leading rows of both stages forming pairs
+
+
+@dataclass
 class OutputSpec:
     kind: str                # "wire" | "lin" | "const"
     wire_idx: np.ndarray     # for lin: [T]; for wire: [1]
@@ -73,16 +98,24 @@ class CircuitExecutor:
         slice — no collectives, DP over ciphertexts rides for free), the
         ``matmul`` orientation via GSPMD with the key contraction tp-sharded
         (partial external products meet in an ICI psum)."""
+        from ..tfhe.staged import StagedKeys
         self.prog = prog
         self.keys = keys
         self.fast_keys = fast_keys
         self.mesh = mesh
-        self.params: TFHEParams = keys.params
-        self._compile(prog)
+        self.staged = isinstance(keys, StagedKeys)
+        if self.staged:
+            self.params = keys.wire_params        # global wire grid
+            self._compile_staged(prog)
+        else:
+            self.params = keys.params
+            self._compile(prog)
         self._sharded_step = None
         if mesh is not None:
             assert "dp" in mesh.axis_names, "executor mesh needs a dp axis"
-            self._sharded_step = self._build_sharded_step()
+            self._sharded_step = (self._build_staged_sharded_step()
+                                  if self.staged
+                                  else self._build_sharded_step())
 
     # ------------------------------------------------------------- compile
     def _compile(self, prog: LutProgram) -> None:
@@ -177,6 +210,247 @@ class CircuitExecutor:
                     "wire", np.asarray([wire_row[node.name]], np.int32),
                     np.asarray([1], np.int32), 0)
 
+    # ------------------------------------------------------- staged compile
+    def _compile_staged(self, prog: LutProgram) -> None:
+        """Compile onto the dual-family staged pipeline (tfhe/staged.py).
+
+        Per bootstrap node, cheapest-first:
+        * table realizable at the size-8 select family -> ONE fam2 boot;
+        * realizable at the size-(p/2) family -> ONE fam1 boot;
+        * else the two-stage split (stage-1 packed pair + select).
+        Wires are produced pre-scaled to the gcd of their consumers' needed
+        torus multiples (scaled wire encodings): the test vector carries the
+        scale for free, collapsing lincomb noise amplification.
+        """
+        import math
+
+        from ..tfhe.staged import split_node
+
+        params = self.params                    # wire grid (p = global p)
+        p = params.p
+        delta_w = params.delta
+        k1p = self.keys.keys1.params            # p = p//2 grid
+        k2p = self.keys.keys2.params            # p = 8 grid
+        delta1, delta2 = k1p.delta, k2p.delta
+
+        def c_const(table, pf):
+            tau = len(table)
+            if tau <= pf:
+                return 0            # unused
+            c = table[0] + table[pf]
+            if tau <= 2 * pf and all(table[x] + table[x + pf] == c
+                                     for x in range(tau - pf)):
+                return c
+            return None
+
+        def can_single(table, pf):
+            return len(table) <= pf or c_const(table, pf) is not None
+
+        wire_row: dict[str, int] = {}
+        self.input_rows = {}
+        node_level: dict[str, int] = {}
+        entries: dict[int, list] = {}           # level -> list of compiled
+        needs: dict[int, set] = {}
+        failures: list[str] = []
+
+        def lin_parts(node):
+            return ([wire_row[v.name] for _, v in node.terms],
+                    [int(c) for c, _ in node.terms], int(node.const))
+
+        compiled: list = []   # (lv, kind, rows, coefs, const, table, row)
+        for node in prog.nodes:
+            if node.kind == N_INPUT:
+                wire_row[node.name] = len(wire_row)
+                self.input_rows[node.name] = wire_row[node.name]
+                node_level[node.name] = 0
+            elif node.kind == N_LIN:
+                node_level[node.name] = max(
+                    (node_level[v.name] for _, v in node.terms), default=0)
+            elif node.kind == N_BOOT:
+                src = node.src
+                if src.kind == N_LIN:
+                    rows, coefs, const = lin_parts(src)
+                else:
+                    rows, coefs, const = [wire_row[src.name]], [1], 0
+                lv = node_level[src.name] + 1
+                row = len(wire_row)
+                wire_row[node.name] = row
+                node_level[node.name] = lv
+                table = list(node.table)
+                # fam1 multiplier: wires at q/2p consumed on the q/(2*p1)
+                # grid need c * p/p1
+                m1 = p // k1p.p
+                m2 = p // k2p.p
+                splits_ok = (k1p.p == p // 2)
+                if can_single(table, k2p.p):
+                    kind, split = "f2", None
+                    for r, c in zip(rows, coefs):
+                        needs.setdefault(r, set()).add(m2 * c)
+                elif can_single(table, k1p.p):
+                    kind, split = "f1", None
+                    for r, c in zip(rows, coefs):
+                        needs.setdefault(r, set()).add(m1 * c)
+                else:
+                    split = split_node(coefs, const, table, p) \
+                        if splits_ok else None
+                    kind = "split"
+                    if split is None:
+                        failures.append(
+                            f"{node.name}: tau={len(table)} coefs={coefs} "
+                            f"const={const}")
+                        continue
+                    for i in split.a_idx:
+                        needs.setdefault(rows[i], set()).add(2 * coefs[i])
+                    for i in split.b_idx:
+                        needs.setdefault(rows[i], set()).add(coefs[i])
+                compiled.append((lv, kind, rows, coefs, const, table, row,
+                                 split))
+        if failures:
+            raise ValueError(
+                "program has bootstrap nodes the staged pipeline cannot "
+                "realize (run the native single-family executor instead): "
+                + "; ".join(failures[:8]))
+
+        for name, spec_node in prog.outputs.items():
+            if spec_node.kind == N_LIN:
+                for _, v in spec_node.terms:
+                    needs.setdefault(wire_row[v.name], set()).add(1)
+            elif spec_node.kind not in (N_CONST,):
+                needs.setdefault(wire_row[spec_node.name], set()).add(1)
+
+        scale = {r: math.gcd(*ns) if len(ns) > 1 else next(iter(ns))
+                 for r, ns in needs.items()}
+        self.row_scale = np.ones(len(wire_row) + 1, dtype=np.int64)
+        for r, s in scale.items():
+            self.row_scale[r] = s
+
+        def mult(needed, r):
+            s = scale.get(r, 1)
+            assert needed % s == 0, (needed, s)
+            return needed // s
+
+        for (lv, kind, rows, coefs, const, table, row, split) in compiled:
+            out_delta = int(scale.get(row, 1)) * delta_w
+            m1, m2 = p // k1p.p, p // k2p.p
+            if kind == "f2":
+                tv, post = build_test_vector(table, k2p, out_delta=out_delta)
+                e = dict(kind="f2", rows2=rows,
+                         coefs2=[mult(m2 * c, r) for r, c in zip(rows, coefs)],
+                         const2=const * delta2, tv2=tv, post2=post, row=row)
+            elif kind == "f1":
+                tv, post = build_test_vector(table, k1p, out_delta=out_delta)
+                e = dict(kind="f1", rows1=rows,
+                         coefs1=[mult(m1 * c, r) for r, c in zip(rows, coefs)],
+                         const1=const * delta1, tv1=tv, post1=post, row=row)
+            else:
+                tv1, post1 = build_test_vector(split.t1, k1p,
+                                               out_delta=delta2)
+                tv2, post2 = build_test_vector(split.t2, k2p,
+                                               out_delta=out_delta)
+                e = dict(kind="split",
+                         rows1=[rows[i] for i in split.a_idx],
+                         coefs1=[mult(2 * coefs[i], rows[i])
+                                 for i in split.a_idx],
+                         const1=split.const_lo * delta1, tv1=tv1, post1=post1,
+                         rows2=[rows[i] for i in split.b_idx],
+                         coefs2=[mult(coefs[i], rows[i])
+                                 for i in split.b_idx],
+                         const2=4 * split.const_hi * delta2,
+                         tv2=tv2, post2=post2, row=row)
+            entries.setdefault(lv, []).append(e)
+
+        self.dummy_row = len(wire_row)
+        self.num_wires = len(wire_row) + 1
+        self.num_bootstraps = len(compiled)
+        # each split counts one logical bootstrap; the device runs 2 stages
+        self.num_stage_calls = sum(
+            2 if e["kind"] == "split" else 1
+            for lvl in entries.values() for e in lvl)
+        # effective post-scaling squared norms per family (for the noise
+        # model: optimize_staged(p, eff_norm1, eff_norm2))
+        self.eff_norm1 = max(
+            (sum(c * c for c in e["coefs1"]) for lvl in entries.values()
+             for e in lvl if "coefs1" in e), default=1)
+        self.eff_norm2 = max(
+            (sum(c * c for c in e.get("coefs2", []))
+             + (1 if e["kind"] == "split" else 0)
+             for lvl in entries.values() for e in lvl if e["kind"] != "f1"),
+            default=1)
+
+        def bucket(nb: int) -> int:
+            b = 1
+            while b < nb:
+                b *= 2
+            return b
+
+        t_all = [len(e.get("rows1", [])) for lvl in entries.values()
+                 for e in lvl] + [len(e.get("rows2", [])) for lvl
+                                  in entries.values() for e in lvl]
+        t_global = max(max(t_all, default=1), 1)
+        N1, N2 = k1p.poly_size, k2p.poly_size
+
+        def u32(x):
+            return np.int64(x).astype(np.uint32).astype(np.int32)
+
+        self.levels = []
+        for lv in sorted(entries):
+            lvl = entries[lv]
+            # stage-1 batch: splits first, then f1 singles
+            splits = [e for e in lvl if e["kind"] == "split"]
+            f1s = [e for e in lvl if e["kind"] == "f1"]
+            f2s = [e for e in lvl if e["kind"] == "f2"]
+            ns = len(splits)
+            nb1 = bucket(ns + len(f1s)) if (ns or f1s) else 0
+            nb2 = bucket(ns + len(f2s)) if (ns or f2s) else 0
+
+            wi1 = np.zeros((nb1, t_global), np.int32)
+            cf1 = np.zeros((nb1, t_global), np.int32)
+            cs1 = np.zeros(nb1, np.int32)
+            tvs1 = np.zeros((nb1, N1), np.int32)
+            ps1 = np.zeros(nb1, np.int32)
+            or1 = np.full(nb1, self.dummy_row, np.int32)
+            for j, e in enumerate(splits + f1s):
+                wi1[j, :len(e["rows1"])] = e["rows1"]
+                cf1[j, :len(e["coefs1"])] = e["coefs1"]
+                cs1[j] = u32(e["const1"])
+                tvs1[j] = e["tv1"]
+                ps1[j] = u32(e["post1"])
+                if e["kind"] == "f1":
+                    or1[j] = e["row"]
+            wi2 = np.zeros((nb2, t_global), np.int32)
+            cf2 = np.zeros((nb2, t_global), np.int32)
+            cs2 = np.zeros(nb2, np.int32)
+            tvs2 = np.zeros((nb2, N2), np.int32)
+            ps2 = np.zeros(nb2, np.int32)
+            or2 = np.full(nb2, self.dummy_row, np.int32)
+            for j, e in enumerate(splits + f2s):
+                wi2[j, :len(e.get("rows2", []))] = e.get("rows2", [])
+                cf2[j, :len(e.get("coefs2", []))] = e.get("coefs2", [])
+                cs2[j] = u32(e["const2"])
+                tvs2[j] = e["tv2"]
+                ps2[j] = u32(e["post2"])
+                or2[j] = e["row"]
+            self.levels.append(StagedLevelPlan(
+                wi1, cf1, cs1, tvs1, ps1, or1,
+                wi2, cf2, cs2, tvs2, ps2, or2, ns))
+
+        # outputs (same spec structure as the native compile)
+        self.outputs = {}
+        for name, node in prog.outputs.items():
+            if node.kind == N_CONST:
+                self.outputs[name] = OutputSpec("const", np.zeros(0, np.int32),
+                                                np.zeros(0, np.int32),
+                                                node.const)
+            elif node.kind == N_LIN:
+                rows, cfs, const = lin_parts(node)
+                self.outputs[name] = OutputSpec(
+                    "lin", np.asarray(rows, np.int32),
+                    np.asarray(cfs, np.int32), const)
+            else:
+                self.outputs[name] = OutputSpec(
+                    "wire", np.asarray([wire_row[node.name]], np.int32),
+                    np.asarray([1], np.int32), 0)
+
     # ------------------------------------------------------------- sharding
     def _buf_sharding(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -231,6 +505,60 @@ class CircuitExecutor:
 
         return step
 
+    def _build_staged_sharded_step(self):
+        """Mesh-parallel staged level step: shard_map over dp with BOTH
+        families' keys replicated (the fused kernels are dp-only; tp has no
+        sharded contraction on this path)."""
+        import functools
+
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        mesh, sk, fast = self.mesh, self.keys, self.fast_keys
+        buf_sharding = self._buf_sharding()
+
+        if fast is not None:
+            f1, f2 = fast
+            assert f1.orientation in ("fused", "fused_otf") \
+                and f2.orientation in ("fused", "fused_otf"), \
+                "staged mesh execution supports the fused orientations"
+            from ..ops.blind_rotate import FastKeys
+            key_args = (f1.bsk_kernels, f1.ksk_limbs,
+                        f2.bsk_kernels, f2.ksk_limbs)
+            o1, o2 = f1.orientation, f2.orientation
+
+            def local(ns, b1, kl1, b2, kl2, buf, *plan):
+                fk1 = FastKeys(sk.keys1.params, b1, kl1, o1)
+                fk2 = FastKeys(sk.keys2.params, b2, kl2, o2)
+                return _staged_level_step(sk.keys1, sk.keys2, fk1, fk2, ns,
+                                          buf, *plan)
+        else:
+            key_args = (sk.keys1.bsk, sk.keys1.ksk,
+                        sk.keys2.bsk, sk.keys2.ksk)
+
+            def local(ns, b1, kl1, b2, kl2, buf, *plan):
+                kk1 = TFHEKeys(params=sk.keys1.params, lwe_key=None,
+                               glwe_key=None, bsk=b1, ksk=kl1)
+                kk2 = TFHEKeys(params=sk.keys2.params, lwe_key=None,
+                               glwe_key=None, bsk=b2, ksk=kl2)
+                return _staged_level_step(kk1, kk2, None, None, ns,
+                                          buf, *plan)
+
+        cache = {}
+
+        def step(n_splits, buf, *plan):
+            if n_splits not in cache:
+                fn = functools.partial(local, n_splits)
+                mapped = jax.shard_map(
+                    fn, mesh=mesh,
+                    in_specs=(P(), P(), P(), P(), P(None, "dp"))
+                    + (P(),) * 12,
+                    out_specs=P(None, "dp"), check_vma=False)
+                cache[n_splits] = jax.jit(mapped, out_shardings=buf_sharding)
+            return cache[n_splits](*key_args, buf, *plan)
+
+        return step
+
     # ---------------------------------------------------------------- run
     def encrypt_inputs(self, values: dict[str, np.ndarray],
                        rng: np.random.Generator) -> jnp.ndarray:
@@ -244,8 +572,19 @@ class CircuitExecutor:
         buf = jnp.zeros((self.num_wires, v, d), dtype=np.int32)
         names = list(self.input_rows)
         if names:
-            flat = np.concatenate([np.asarray(values[n]) for n in names])
-            cts = encrypt_values(self.keys, flat, rng)
+            # staged executor: inputs are produced pre-scaled to their
+            # consumers' gcd torus multiple (scaled wire encodings)
+            def scaled(n):
+                vals = np.asarray(values[n], dtype=np.int64)
+                if self.staged:
+                    vals = vals * int(self.row_scale[self.input_rows[n]])
+                return vals
+            flat = np.concatenate([scaled(n) for n in names])
+            key_holder = self.keys.keys1 if self.staged else self.keys
+            from ..tfhe.encrypt import encode, lwe_encrypt
+            cts = lwe_encrypt(
+                key_holder.extracted_key, encode(flat, self.params),
+                key_holder.params.glwe_noise_std, rng)
             cts = cts.reshape(len(names), v, d)
             rows = jnp.asarray([self.input_rows[n] for n in names])
             # device-side scatter — reading the ciphertexts back to host
@@ -288,16 +627,30 @@ class CircuitExecutor:
         for lv, plan in enumerate(self.levels):
             if lv < start:
                 continue
-            plan_args = (jnp.asarray(plan.wire_idx),
-                         jnp.asarray(plan.coefs),
-                         jnp.asarray(plan.consts),
-                         jnp.asarray(plan.test_polys),
-                         jnp.asarray(plan.posts),
-                         jnp.asarray(plan.out_rows))
-            if step is not None:
-                buf = step(buf, *plan_args)
+            if self.staged:
+                plan_args = tuple(jnp.asarray(x) for x in (
+                    plan.wire_idx1, plan.coefs1, plan.consts1, plan.tvs1,
+                    plan.posts1, plan.out_rows1, plan.wire_idx2, plan.coefs2,
+                    plan.consts2, plan.tvs2, plan.posts2, plan.out_rows))
+                if step is not None:
+                    buf = step(plan.n_splits, buf, *plan_args)
+                else:
+                    f1, f2 = self.fast_keys or (None, None)
+                    buf = _staged_level_step(
+                        self.keys.keys1, self.keys.keys2, f1, f2,
+                        plan.n_splits, buf, *plan_args)
             else:
-                buf = _level_step(self.keys, self.fast_keys, buf, *plan_args)
+                plan_args = (jnp.asarray(plan.wire_idx),
+                             jnp.asarray(plan.coefs),
+                             jnp.asarray(plan.consts),
+                             jnp.asarray(plan.test_polys),
+                             jnp.asarray(plan.posts),
+                             jnp.asarray(plan.out_rows))
+                if step is not None:
+                    buf = step(buf, *plan_args)
+                else:
+                    buf = _level_step(self.keys, self.fast_keys, buf,
+                                      *plan_args)
             if checkpoint is not None \
                     and (lv + 1) % checkpoint_every == 0 \
                     and lv + 1 < len(self.levels):
@@ -345,6 +698,55 @@ class CircuitExecutor:
         buf = self.encrypt_inputs(values, rng)
         buf = self.run(buf)
         return self.decrypt_outputs(buf)
+
+
+def _lincomb_flat(buf, wire_idx, coefs, consts):
+    """Gather + lincomb -> v-major flat batch [v*nb, d]."""
+    gathered = buf[wire_idx]                              # [nb, T, V, d]
+    lin = jnp.einsum("nt,ntvd->nvd", coefs, gathered,
+                     preferred_element_type=I32)
+    lin = lin.at[:, :, -1].add(consts[:, None])
+    v = buf.shape[1]
+    return jnp.transpose(lin, (1, 0, 2)).reshape(v * lin.shape[0],
+                                                 lin.shape[-1])
+
+
+def _run_fbs(keys: TFHEKeys, fast_keys, flat, tvs, posts, v):
+    tvs_flat = jnp.tile(tvs, (v, 1))
+    posts_flat = jnp.tile(posts, (v,))
+    if fast_keys is not None:
+        from ..ops.blind_rotate import functional_bootstrap_fast
+        return functional_bootstrap_fast(fast_keys, flat, tvs_flat,
+                                         posts_flat)
+    return functional_bootstrap(keys, flat, tvs_flat, posts_flat)
+
+
+def _staged_level_step(keys1, keys2, fast1, fast2, n_splits, buf,
+                       wi1, cf1, cs1, tvs1, ps1, out_rows1,
+                       wi2, cf2, cs2, tvs2, ps2, out_rows):
+    """One staged level: fam1 call (split stage-1 + f1 singles), then fam2
+    call (split stage-2 consuming G + f2 singles), one scatter each."""
+    _, v, d = buf.shape
+    nb1, nb2 = wi1.shape[0], wi2.shape[0]
+    g = None
+    if nb1:
+        flat1 = _lincomb_flat(buf, wi1, cf1, cs1)
+        out1 = _run_fbs(keys1, fast1, flat1, tvs1, ps1, v)
+        out1 = jnp.transpose(out1.reshape(v, nb1, d), (1, 0, 2))
+        g = out1[:n_splits]                               # [ns, V, d]
+        # f1 singles scatter (split/padding rows land on the dummy row)
+        buf = buf.at[out_rows1].set(out1)
+    if nb2:
+        flat2 = _lincomb_flat(buf, wi2, cf2, cs2)
+        if g is not None and n_splits:
+            g_flat = jnp.concatenate(
+                [g, jnp.zeros((nb2 - n_splits, v, d), dtype=I32)], axis=0)
+            flat2 = flat2 + jnp.transpose(g_flat, (1, 0, 2)).reshape(
+                v * nb2, d)
+        out2 = _run_fbs(keys2, fast2, flat2, tvs2, ps2, v)
+        out2 = jnp.transpose(out2.reshape(v, nb2, d), (1, 0, 2))
+        buf = buf.at[out_rows].set(out2)
+    return buf
 
 
 def _level_step(keys: TFHEKeys, fast_keys, buf, wire_idx, coefs, consts,

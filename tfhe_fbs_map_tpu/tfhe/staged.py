@@ -167,7 +167,10 @@ def generate_staged_keys(p: int, params1: TFHEParams, params2: TFHEParams,
         "families must share the extracted key dimension"
     assert params1.lwe_dim == params2.lwe_dim, \
         "families must share the small LWE key"
-    assert params1.p == p // 2 and params2.p == SELECT_P
+    # fam1 on the p/2 grid enables two-stage splits (the p=32 design);
+    # fam1 on the p grid covers every mapper-emitted table as one boot
+    # while fam2 still takes the small ones (the p<=16 design)
+    assert params1.p in (p // 2, p) and params2.p == SELECT_P
     rng = np.random.default_rng(seed)
     master = rng.integers(0, 2, params1.big_dim, dtype=np.int64) \
         .astype(np.int32)
