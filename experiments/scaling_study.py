@@ -24,13 +24,21 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_point(n_dev: int, batch: int, iters: int, orientation: str) -> dict:
+def run_point(n_dev: int, batch: int, iters: int, orientation: str,
+              pin_cores: int | None = None) -> dict:
     cmd = [sys.executable, str(REPO / "experiments" / "bench_multichip.py"),
            "--cpu-devices", str(n_dev), "--batch-per-chip", str(batch),
            "--iters", str(iters), "--orientation", orientation, "--quick"]
+    if pin_cores:
+        # one host core per virtual device: cores stand in for chips, so
+        # weak scaling over the pinned points is a real efficiency number
+        cmd = ["taskset", "-c", f"0-{pin_cores - 1}"
+               if pin_cores > 1 else "0"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    r["pinned_cores"] = pin_cores
+    return r
 
 
 def main() -> int:
@@ -41,26 +49,43 @@ def main() -> int:
     ap.add_argument("--out", default="outputs/scaling_virtual.json")
     args = ap.parse_args()
 
+    import os
+    ncores = os.cpu_count() or 1
     points = []
     for n in (1, 2, 4, 8):
-        r = run_point(n, args.batch_per_chip, args.iters, args.orientation)
+        pin = n if n <= ncores else None
+        r = run_point(n, args.batch_per_chip, args.iters, args.orientation,
+                      pin_cores=pin)
         assert r["errors"] == 0, f"dp={n}: {r['errors']} decode errors"
         points.append(r)
         print(f"dp={n}: {r['value']} boots/s total "
-              f"({r['boots_per_sec_per_chip']}/chip)")
+              f"({r['boots_per_sec_per_chip']}/chip, "
+              f"{'pinned ' + str(pin) + ' cores' if pin else 'oversubscribed'})")
 
+    # efficiency over the core-proportional (pinned) points only: one host
+    # core stands in for one chip, so weak scaling there is meaningful;
+    # oversubscribed points (devices > cores) only demonstrate that the
+    # partitioned program keeps total throughput monotone
     base = points[0]["value"]
+    pinned = [p for p in points if p["pinned_cores"]]
     effs = {p["devices"]: round(p["value"] / (p["devices"] * base), 3)
-            for p in points}
+            for p in pinned}
+    max_pinned = max(effs)
     result = {
         "metric": "dp_scaling_efficiency_virtual_mesh",
+        "host_cores": ncores,
         "batch_per_chip": args.batch_per_chip,
         "orientation": args.orientation,
         "points": points,
-        "efficiency": effs,
-        "efficiency_dp8": effs[8],
-        "note": "8 virtual CPU devices (one real TPU chip tunneled); "
-                "shard_map dp path, keys replicated, no collectives",
+        "efficiency_core_proportional": effs,
+        "efficiency": effs[max_pinned],
+        "efficiency_devices": max_pinned,
+        "oversubscribed_total_boots_per_sec": {
+            p["devices"]: p["value"] for p in points
+            if not p["pinned_cores"]},
+        "note": "virtual CPU mesh (one real TPU chip tunneled): host cores "
+                "stand in for chips on the pinned points; shard_map dp "
+                "path, keys replicated, no collectives",
     }
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     with open(args.out, "w") as f:

@@ -151,8 +151,12 @@ def aggregate(out_dir: Path, csv_path: Path) -> list[dict]:
 
 
 def add_estimates(rows: list[dict], csv_path: Path) -> None:
+    from tfhe_fbs_map_tpu.frontend.lut_program import parse_lbf
     from tfhe_fbs_map_tpu.optimizer import optimize
+    from tfhe_fbs_map_tpu.optimizer.optimizer import optimize_staged
+    from tfhe_fbs_map_tpu.runtime.executor import staged_probe
     memo: dict[tuple, float] = {}
+    smemo: dict[tuple, float] = {}
     for r in rows:
         key = (r["fbs_size"], r["norm2_linprod"])
         if key not in memo:
@@ -162,6 +166,25 @@ def add_estimates(rows: list[dict], csv_path: Path) -> None:
         nb = r.get("nb_bootstrap", 0)
         r["total_cost"] = round(nb * memo[key], 1) if memo[key] == memo[key] \
             else float("nan")
+        # staged-pipeline estimate (runtime/executor.py dual-family plan):
+        # probe the mapped program for realizability + post-scaling norms
+        r["staged_boot_cost"] = r["staged_total"] = ""
+        p = int(r["fbs_size"])
+        lbf = Path(str(r.get("output_lbf", "")))
+        if p >= 16 and p % 2 == 0 and lbf.is_file():
+            try:
+                prog = parse_lbf(lbf.read_text())
+                eff1, eff2 = staged_probe(prog, p)
+                skey = (p, eff1, eff2)
+                if skey not in smemo:
+                    ssol = optimize_staged(p, eff1, eff2)
+                    smemo[skey] = round(ssol.cost, 1) if ssol \
+                        else float("nan")
+                if smemo[skey] == smemo[skey]:
+                    r["staged_boot_cost"] = smemo[skey]
+                    r["staged_total"] = round(nb * smemo[skey], 1)
+            except (ValueError, AssertionError):
+                pass            # not staged-realizable: native estimate only
     keys = sorted({k for r in rows for k in r})
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys)

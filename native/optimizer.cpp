@@ -11,8 +11,10 @@
 // The noise model must stay in lockstep with optimizer/noise.py; the
 // differential test tests/test_native_optimizer.py enforces agreement.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <vector>
 
 namespace {
 
@@ -95,6 +97,56 @@ double bootstrap_cost_us(int n, int k, int N, int br_l, int ks_l,
   double acc_bytes = double(n) * 3.0 * (k + 1) * N * 4.0;
   double mem_s = acc_bytes / HBM_BYTES;
   return (compute_s > mem_s ? compute_s : mem_s) * 1e6;
+}
+
+// ---------------------------------------------------------------------------
+// Staged multi-digit pipeline search (mirror of optimizer.py
+// optimize_staged; tfhe/staged.py design).  Enumeration order and pruning
+// match the Python reference exactly so results are bit-identical.
+// ---------------------------------------------------------------------------
+
+constexpr int SELECT_P = 8;
+
+double p_error_from_var(int p, double v_total) {
+  if (v_total <= 0.0) return 0.0;
+  return std::erfc((Q / (4.0 * p)) / (std::sqrt(v_total) * std::sqrt(2.0)));
+}
+
+struct Cand {
+  double cost, vw, ks, ms;
+  int k, N, bl, bb, kl, kb;
+};
+
+void staged_candidates(int n, int min_N, int big_dim, std::vector<Cand>& out) {
+  double lwe_std = min_noise_std_rel(n) * Q;
+  const int ks_choices[3] = {1, 2, 4};
+  for (int k : ks_choices) {
+    if (big_dim % k) continue;
+    int N = big_dim / k;
+    if (N < 2 * SELECT_P || N < min_N) continue;
+    double g = min_noise_std_rel(k * N) * Q;
+    double ms = var_modswitch(n, N);
+    double best_v[9];
+    int best_kb[9];
+    for (int kl = 1; kl <= 8; ++kl) best_v[kl] = 1e300, best_kb[kl] = 0;
+    for (int kb = 2; kb <= 8; ++kb)
+      for (int kl = 1; kl <= 8; ++kl) {
+        if (kb * kl > 32) continue;
+        double v = var_keyswitch(k, N, kl, kb, lwe_std);
+        if (v < best_v[kl]) best_v[kl] = v, best_kb[kl] = kb;
+      }
+    for (int bb = 4; bb <= 8; ++bb)
+      for (int bl = 1; bl <= 5; ++bl) {
+        double vw = var_blind_rotate(n, k, N, bl, bb, g);
+        for (int kl = 1; kl <= 8; ++kl) {
+          if (!best_kb[kl]) continue;
+          out.push_back({bootstrap_cost_us(n, k, N, bl, kl, 4), vw,
+                         best_v[kl], ms, k, N, bl, bb, kl, best_kb[kl]});
+        }
+      }
+  }
+  std::stable_sort(out.begin(), out.end(),
+                   [](const Cand& a, const Cand& b) { return a.cost < b.cost; });
 }
 
 }  // namespace
@@ -189,6 +241,63 @@ int32_t optimize_params(int32_t p, double sq_norm2, double max_p_error,
             }
           }
         }
+      }
+    }
+  }
+  return found ? 1 : 0;
+}
+
+struct StagedSolutionC {
+  // family 1 (stage-1 grid p/2, or p itself when p < 32)
+  int32_t p1, n, k1, N1, bl1, bb1, kl1, kb1;
+  // family 2 (select grid, p = 8)
+  int32_t k2, N2, bl2, bb2, kl2, kb2;
+  double lwe_noise_std, glwe1_noise_std, glwe2_noise_std;
+  double cost_us, p_error;
+};
+
+// Mirror of optimizer.py optimize_staged (bit-identical enumeration).
+int32_t optimize_staged_params(int32_t p, double sq_norm1, double sq_norm2,
+                               double max_p_error, int32_t big_dim,
+                               int32_t wires_from_stage2,
+                               StagedSolutionC* out) {
+  if (p % 2 || p < 8) return 0;
+  const int stage1_p = p >= 2 * SELECT_P * 2 ? p / 2 : p;
+  bool found = false;
+  double best_cost = 1e300;
+  for (int n = 450; n < 1100; n += 32) {
+    double lwe_std = min_noise_std_rel(n) * Q;
+    std::vector<Cand> c2s, c1s;
+    staged_candidates(n, 2 * SELECT_P, big_dim, c2s);
+    staged_candidates(n, 2 * stage1_p, big_dim, c1s);
+    if (c2s.empty() || c1s.empty()) continue;
+    double min_c1 = c1s.front().cost;
+    for (const Cand& c2 : c2s) {
+      if (found && c2.cost + min_c1 >= best_cost) break;
+      for (const Cand& c1 : c1s) {
+        double tot = c1.cost + c2.cost;
+        if (found && tot >= best_cost) break;
+        double vw = wires_from_stage2 ? c2.vw
+                                      : (c1.vw > c2.vw ? c1.vw : c2.vw);
+        double e1 = p_error_from_var(stage1_p, sq_norm1 * vw + c1.ks + c1.ms);
+        if (e1 > max_p_error) continue;
+        double e2 =
+            p_error_from_var(SELECT_P, c1.vw + sq_norm2 * vw + c2.ks + c2.ms);
+        if (e2 > max_p_error) continue;
+        found = true;
+        best_cost = tot;
+        out->p1 = stage1_p;
+        out->n = n;
+        out->k1 = c1.k, out->N1 = c1.N, out->bl1 = c1.bl, out->bb1 = c1.bb;
+        out->kl1 = c1.kl, out->kb1 = c1.kb;
+        out->k2 = c2.k, out->N2 = c2.N, out->bl2 = c2.bl, out->bb2 = c2.bb;
+        out->kl2 = c2.kl, out->kb2 = c2.kb;
+        out->lwe_noise_std = lwe_std;
+        out->glwe1_noise_std = min_noise_std_rel(c1.k * c1.N) * Q;
+        out->glwe2_noise_std = min_noise_std_rel(c2.k * c2.N) * Q;
+        out->cost_us = tot;
+        out->p_error = e1 + e2;
+        break;  // c1s is cost-sorted: first feasible is best for this c2
       }
     }
   }

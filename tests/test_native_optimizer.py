@@ -78,3 +78,22 @@ def test_native_is_fast():
     for p in range(2, 12):
         optimize_native(p, 10, max_p_error=P_ERROR_4_SIGMA)
     assert time.time() - t0 < 5.0
+
+
+@pytest.mark.parametrize("p,n1,n2", [(32, 4.0, 2.0), (16, 4.0, 2.0),
+                                     (32, 340.0, 257.0), (20, 9.0, 3.0)])
+def test_staged_native_matches_python(p, n1, n2):
+    from tfhe_fbs_map_tpu.optimizer.native import (native_available,
+                                                   optimize_staged_native)
+    from tfhe_fbs_map_tpu.optimizer.optimizer import optimize_staged
+    if not native_available():
+        pytest.skip("no native toolchain")
+    py = optimize_staged(p, n1, n2)
+    nat = optimize_staged_native(p, n1, n2)
+    if py is None:
+        assert nat is None
+        return
+    assert nat is not None
+    assert nat.params1 == py.params1 and nat.params2 == py.params2
+    assert nat.cost == pytest.approx(py.cost, rel=1e-12)
+    assert nat.p_error == pytest.approx(py.p_error, rel=1e-9)

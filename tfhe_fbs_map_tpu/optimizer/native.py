@@ -36,6 +36,22 @@ class _CSolution(ctypes.Structure):
     ]
 
 
+class _CStagedSolution(ctypes.Structure):
+    _fields_ = [
+        ("p1", ctypes.c_int32), ("n", ctypes.c_int32),
+        ("k1", ctypes.c_int32), ("N1", ctypes.c_int32),
+        ("bl1", ctypes.c_int32), ("bb1", ctypes.c_int32),
+        ("kl1", ctypes.c_int32), ("kb1", ctypes.c_int32),
+        ("k2", ctypes.c_int32), ("N2", ctypes.c_int32),
+        ("bl2", ctypes.c_int32), ("bb2", ctypes.c_int32),
+        ("kl2", ctypes.c_int32), ("kb2", ctypes.c_int32),
+        ("lwe_noise_std", ctypes.c_double),
+        ("glwe1_noise_std", ctypes.c_double),
+        ("glwe2_noise_std", ctypes.c_double),
+        ("cost_us", ctypes.c_double), ("p_error", ctypes.c_double),
+    ]
+
+
 def _load():
     global _lib
     if _lib is not None:
@@ -49,6 +65,10 @@ def _load():
     _lib.optimize_params.argtypes = [
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_int32,
         ctypes.POINTER(_CSolution)]
+    _lib.optimize_staged_params.restype = ctypes.c_int32
+    _lib.optimize_staged_params.argtypes = [
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(_CStagedSolution)]
     i32, f64 = ctypes.c_int32, ctypes.c_double
     for name, argtypes in {
         "nv_var_blind_rotate": [i32, i32, i32, i32, i32, f64],
@@ -105,3 +125,34 @@ def optimize_native(p: int, sq_norm2: float, max_p_error: float,
         glwe_noise_std=out.glwe_noise_std)
     return Solution(params, out.cost_us * slowdown, out.p_error,
                     out.bsk_limbs)
+
+
+def optimize_staged_native(p: int, sq_norm1: float = 4.0,
+                           sq_norm2: float = 2.0,
+                           max_p_error: float | None = None,
+                           big_dim: int = 1024,
+                           wires_from_stage2: bool = True):
+    """Native mirror of :func:`optimizer.optimize_staged` (bit-identical
+    enumeration; the lockstep test compares full solutions)."""
+    from ..tfhe.staged import SELECT_P
+    from .noise import P_ERROR_4_SIGMA
+    from .optimizer import StagedSolution
+    lib = _load()
+    out = _CStagedSolution()
+    ok = lib.optimize_staged_params(
+        p, float(sq_norm1), float(sq_norm2),
+        float(P_ERROR_4_SIGMA if max_p_error is None else max_p_error),
+        big_dim, 1 if wires_from_stage2 else 0, ctypes.byref(out))
+    if not ok:
+        return None
+    pr1 = TFHEParams(p=out.p1, lwe_dim=out.n, glwe_dim=out.k1,
+                     poly_size=out.N1, bsk_level=out.bl1,
+                     bsk_base_log=out.bb1, ksk_level=out.kl1,
+                     ksk_base_log=out.kb1, lwe_noise_std=out.lwe_noise_std,
+                     glwe_noise_std=out.glwe1_noise_std)
+    pr2 = TFHEParams(p=SELECT_P, lwe_dim=out.n, glwe_dim=out.k2,
+                     poly_size=out.N2, bsk_level=out.bl2,
+                     bsk_base_log=out.bb2, ksk_level=out.kl2,
+                     ksk_base_log=out.kb2, lwe_noise_std=out.lwe_noise_std,
+                     glwe_noise_std=out.glwe2_noise_std)
+    return StagedSolution(pr1, pr2, out.cost_us, out.p_error)

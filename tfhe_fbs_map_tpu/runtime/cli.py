@@ -119,24 +119,12 @@ def main(argv=None) -> int:
     if args.staged != "off" and not args.keys and not args.test_params \
             and p_run >= 16 and p_run % 2 == 0:
         from ..optimizer.optimizer import optimize_staged
-        from ..tfhe import TFHEParams
-        from ..tfhe.keys import TFHEKeys
-        from ..tfhe.staged import SELECT_P, StagedKeys
-        p1 = p_run // 2 if p_run >= 32 else p_run
-        mk = lambda pp, k, N: TFHEKeys(  # noqa: E731
-            params=TFHEParams(p=pp, lwe_dim=16, glwe_dim=k, poly_size=N,
-                              bsk_level=1, bsk_base_log=8, ksk_level=1,
-                              ksk_base_log=8, lwe_noise_std=0.0,
-                              glwe_noise_std=0.0),
-            lwe_key=None, glwe_key=None, bsk=None, ksk=None)
-        probe_keys = StagedKeys(p=p_run, keys1=mk(p1, 1, 2048),
-                                keys2=mk(SELECT_P, 2, 1024))
+        from .executor import staged_probe
         try:
-            probe = CircuitExecutor(prog, probe_keys)
+            eff1, eff2 = staged_probe(prog, p_run)
             kw = ({"max_p_error": args.p_error}
                   if args.p_error is not None else {})
-            staged_sol = optimize_staged(p_run, probe.eff_norm1,
-                                         probe.eff_norm2, **kw)
+            staged_sol = optimize_staged(p_run, eff1, eff2, **kw)
         except ValueError as e:
             if args.staged == "on":
                 print(f"--staged on: {e}", file=sys.stderr)

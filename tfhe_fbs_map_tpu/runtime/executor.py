@@ -700,6 +700,32 @@ class CircuitExecutor:
         return self.decrypt_outputs(buf)
 
 
+def staged_probe(prog: LutProgram, p: int) -> tuple[float, float]:
+    """Keyless staged-compile probe: (eff_norm1, eff_norm2).
+
+    Compiles ``prog`` onto the dual-family plan with dummy parameter shells
+    (no key material is touched at compile time) and returns the
+    post-scaling effective squared norms the noise model needs
+    (``optimize_staged(p, eff1, eff2)``).  Raises ValueError when the
+    program has nodes the staged pipeline cannot realize.
+    """
+    from ..tfhe.params import TFHEParams as TP
+    from ..tfhe.staged import SELECT_P, StagedKeys
+
+    p1 = p // 2 if p >= 32 else p
+
+    def shell(pp, k, N):
+        return TFHEKeys(params=TP(p=pp, lwe_dim=16, glwe_dim=k, poly_size=N,
+                                  bsk_level=1, bsk_base_log=8, ksk_level=1,
+                                  ksk_base_log=8, lwe_noise_std=0.0,
+                                  glwe_noise_std=0.0),
+                        lwe_key=None, glwe_key=None, bsk=None, ksk=None)
+
+    probe = CircuitExecutor(prog, StagedKeys(p=p, keys1=shell(p1, 1, 2048),
+                                             keys2=shell(SELECT_P, 2, 1024)))
+    return probe.eff_norm1, probe.eff_norm2
+
+
 def _lincomb_flat(buf, wire_idx, coefs, consts):
     """Gather + lincomb -> v-major flat batch [v*nb, d]."""
     gathered = buf[wire_idx]                              # [nb, T, V, d]
