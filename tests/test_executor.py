@@ -98,3 +98,31 @@ def test_checkpoint_resume(tmp_path):
     got = ex2.decrypt_outputs(ex2.run(buf0, checkpoint=ckpt,
                                       checkpoint_every=1))
     assert all(np.array_equal(want[k], got[k]) for k in want)
+
+
+def test_checkpoint_adaptive_budget(tmp_path):
+    """Adaptive checkpointing keeps snapshot cost within the budget: a
+    zero budget never snapshots (fast circuits skip the tunneled readback
+    entirely), a generous one does."""
+    import os
+
+    from tfhe_fbs_map_tpu.frontend.circuits import build_bench
+    from tfhe_fbs_map_tpu.frontend.mapping.heuristic import HeuristicMapper
+    from tfhe_fbs_map_tpu.runtime.executor import CircuitExecutor
+    from tfhe_fbs_map_tpu.tfhe import TEST_PARAMS, generate_keys
+
+    prog = HeuristicMapper(cone_merger="search",
+                           fbs_size=4).map(build_bench("full_adder"))
+    prog.remove_dangling_nodes()
+    keys = generate_keys(TEST_PARAMS, seed=1)
+    ex = CircuitExecutor(prog, keys)
+    rng = np.random.default_rng(0)
+    values = {n.name: rng.integers(0, 2, 4)
+              for n in prog.nodes if n.kind == "input"}
+    buf = ex.encrypt_inputs(values, rng)
+    ck = tmp_path / "never.npz"
+    ex.run(buf, checkpoint=str(ck), checkpoint_budget=0.0)
+    assert not os.path.exists(ck)
+    ck2 = tmp_path / "always.npz"
+    ex.run(buf, checkpoint=str(ck2), checkpoint_budget=1e9)
+    assert os.path.exists(ck2) or len(ex.levels) < 2

@@ -35,7 +35,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default="blif", help="input format")
     p.add_argument("--fbs_size", default=3, type=int, help="FBS size")
     p.add_argument("--mapper",
-                   choices=["basic", "naive", "search", "search+", "best"],
+                   choices=["basic", "naive", "search", "search+", "search+dc",
+                            "best"],
                    default="search",
                    help="mapping strategy (search = reference-parity "
                         "heuristic; search+ = trial-repair variant; best = "

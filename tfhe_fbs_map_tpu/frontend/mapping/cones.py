@@ -48,9 +48,20 @@ class ConeSpace:
     p under ``--strict_fbs_size``).
     """
 
-    def __init__(self, fbs_size: int, max_fbs_size: int):
+    def __init__(self, fbs_size: int, max_fbs_size: int,
+                 dont_care: bool = False):
         self.fbs_size = fbs_size
         self.max_fbs_size = max_fbs_size
+        # Sparse-mvt don't-cares (the reference's open TODO,
+        # map_to_fbs.py:8-11): mvt holes — lincomb values no input
+        # assignment reaches — are FREE per-position in the negacyclic
+        # overlap check, instead of one global 0/1 fill.  A test vector
+        # longer than p is then accepted iff SOME overlap constant
+        # C in {1, 0, 2} (tv[x] + tv[x+p] = C) is consistent with the
+        # defined entries alone.  Strictly more merges; exposed through
+        # the beyond-parity mappers ("search+dc"/"best") — plain "search"
+        # stays reference-parity.
+        self.dont_care = dont_care
 
     # -- validity ---------------------------------------------------------
     def mvt_consistent(self, tt: np.ndarray, mvt: np.ndarray) -> bool:
@@ -78,11 +89,35 @@ class ConeSpace:
             return bool(np.all(head == 0) or np.all(head == 1))
         return False
 
+    def _sparse_tv(self, tt: np.ndarray, mvt: np.ndarray) -> np.ndarray:
+        mvt = np.asarray(mvt)
+        lo = int(mvt.min())
+        tv = np.full(int(mvt.max()) - lo + 1, -1, dtype=np.int64)
+        tv[mvt - lo] = tt
+        return tv
+
+    def _dc_mode(self, tv: np.ndarray) -> int | None:
+        """Feasible overlap constant C for a sparse tv (-1 = hole)."""
+        p = self.fbs_size
+        if len(tv) > self.max_fbs_size:
+            return None
+        head, tail = tv[: len(tv) - p], tv[p:]
+        both = (head >= 0) & (tail >= 0)
+        if not np.any(both & (head == tail)):
+            return 1                       # complement mode realizable
+        if not np.any(head == 1) and not np.any(tail == 1):
+            return 0
+        if not np.any(head == 0) and not np.any(tail == 0):
+            return 2
+        return None
+
     def lut_ok(self, tt: np.ndarray, mvt: np.ndarray) -> bool:
         if not self.mvt_consistent(tt, mvt):
             return False
         if mvt_span(mvt) <= self.fbs_size:
             return True
+        if self.dont_care:
+            return self._dc_mode(self._sparse_tv(tt, mvt)) is not None
         return (self.test_vector_ok(complete_test_vector(tt, mvt, 0))
                 or self.test_vector_ok(complete_test_vector(tt, mvt, 1)))
 
@@ -93,8 +128,34 @@ class ConeSpace:
         if self.test_vector_ok(tv):
             return tv
         tv = complete_test_vector(tt, mvt, 1)
-        assert self.test_vector_ok(tv), "no valid test-vector completion"
-        return tv
+        if self.test_vector_ok(tv):
+            return tv
+        assert self.dont_care, "no valid test-vector completion"
+        return self._dc_realize(self._sparse_tv(tt, mvt))
+
+    def _dc_realize(self, tv: np.ndarray) -> list[int]:
+        """Concrete per-hole filling for the feasible overlap constant."""
+        c = self._dc_mode(tv)
+        assert c is not None, "no valid don't-care completion"
+        tv = tv.copy()
+        p, n = self.fbs_size, len(tv)
+        if c == 1:
+            for x in range(n - p):
+                if tv[x] < 0 and tv[x + p] >= 0:
+                    tv[x] = 1 - tv[x + p]
+                elif tv[x] >= 0 and tv[x + p] < 0:
+                    tv[x + p] = 1 - tv[x]
+                elif tv[x] < 0:
+                    tv[x], tv[x + p] = 0, 1
+        else:
+            v = c // 2
+            for x in range(n - p):
+                if tv[x] < 0:
+                    tv[x] = v
+                if tv[x + p] < 0:
+                    tv[x + p] = v
+        tv[tv < 0] = 0                     # holes outside the overlap
+        return tv.tolist()
 
 
 class Cone:
@@ -239,21 +300,34 @@ def valid_pairs_mask(space: ConeSpace, cand: np.ndarray, xu: np.ndarray,
     ok = consistent & small
     big = consistent & ~small
     if big.any():
-        # Negacyclic half-table acceptance: compare the head tv[:span-p]
-        # against the tail tv[p:span] for both hole fillings m in {0, 1}
-        # (reference test_vector_ok modes, ``map_to_fbs.py:81-98``).
         w = maxp - p
         in_win = np.arange(w)[None, :] < (span[sub, None] - p)
-        for m in (0, 1):
-            head = np.where(pres1[:, :w], 1, np.where(pres0[:, :w], 0, m))
-            tail = np.where(pres1[:, p:p + w], 1,
-                            np.where(pres0[:, p:p + w], 0, m))
-            eq = np.where(in_win, head == tail, True)
-            all_diff = np.where(in_win, head != tail, True).all(axis=1)
-            all_eq = eq.all(axis=1)
-            head0 = np.where(in_win, head == 0, True).all(axis=1)
-            head1 = np.where(in_win, head == 1, True).all(axis=1)
-            ok |= big & (all_diff | (all_eq & (head0 | head1)))
+        if space.dont_care:
+            # Sparse-mvt don't-cares: holes are free PER POSITION, so a
+            # long tv is valid iff some overlap constant C is consistent
+            # with the defined entries alone (ConeSpace._dc_mode).
+            h0, h1 = pres0[:, :w], pres1[:, :w]
+            q0, q1 = pres0[:, p:p + w], pres1[:, p:p + w]
+            bad_c1 = (in_win & ((h0 & q0) | (h1 & q1))).any(axis=1)
+            bad_c0 = (in_win & (h1 | q1)).any(axis=1)
+            bad_c2 = (in_win & (h0 | q0)).any(axis=1)
+            ok |= big & ~(bad_c1 & bad_c0 & bad_c2)
+        else:
+            # Negacyclic half-table acceptance: compare the head
+            # tv[:span-p] against the tail tv[p:span] for both hole
+            # fillings m in {0, 1} (reference test_vector_ok modes,
+            # ``map_to_fbs.py:81-98``).
+            for m in (0, 1):
+                head = np.where(pres1[:, :w], 1,
+                                np.where(pres0[:, :w], 0, m))
+                tail = np.where(pres1[:, p:p + w], 1,
+                                np.where(pres0[:, p:p + w], 0, m))
+                eq = np.where(in_win, head == tail, True)
+                all_diff = np.where(in_win, head != tail, True).all(axis=1)
+                all_eq = eq.all(axis=1)
+                head0 = np.where(in_win, head == 0, True).all(axis=1)
+                head1 = np.where(in_win, head == 1, True).all(axis=1)
+                ok |= big & (all_diff | (all_eq & (head0 | head1)))
     valid[sub] = ok
     return valid, mvts
 

@@ -46,7 +46,7 @@ def map_best(circuit: BitCircuit, fbs_size: int = 8,
     is to race both and pick — map time roughly doubles, which is noise
     next to homomorphic execution."""
     best = None
-    for merger in ("search", "search+"):
+    for merger in ("search", "search+", "search+dc"):
         prog = HeuristicMapper(
             cone_merger=merger, fbs_size=fbs_size, max_fbs_size=max_fbs_size,
             max_truth_table_size=max_truth_table_size).map(circuit)
@@ -62,21 +62,26 @@ class HeuristicMapper:
     def __init__(self, cone_merger: str = "search", fbs_size: int = 8,
                  max_fbs_size: int | None = None,
                  max_truth_table_size: int = 16):
-        """:param cone_merger: "naive", "search", or "search+" ("search"
-            plus trial-based bootstrap choice on merge failure — a strict
-            quality improvement over the reference ladder, see ``map_gate``)
+        """:param cone_merger: "naive", "search", "search+", or
+            "search+dc".  "search+" adds trial-based bootstrap choice on
+            merge failure; "search+dc" additionally treats sparse-mvt holes
+            as per-position don't-cares in the negacyclic overlap check
+            (the reference's open TODO, ``map_to_fbs.py:8-11``) — both are
+            strict-quality beyond-parity modes; plain "search" stays
+            reference-parity
         :param fbs_size: plaintext precision p of one FBS
         :param max_fbs_size: longest acceptable test vector (2p unless strict)
         :param max_truth_table_size: support-size cap (log2 of tt rows) above
             which an input cone is force-bootstrapped
             (reference ``map_to_fbs.py:483-498``)"""
         self.space = ConeSpace(
-            fbs_size, 2 * fbs_size if max_fbs_size is None else max_fbs_size)
+            fbs_size, 2 * fbs_size if max_fbs_size is None else max_fbs_size,
+            dont_care=cone_merger == "search+dc")
         self.max_support = max_truth_table_size
-        self.alt_boot = cone_merger == "search+"
+        self.alt_boot = cone_merger in ("search+", "search+dc")
         if cone_merger == "naive":
             self._find_coefs = self._find_coefs_naive
-        elif cone_merger in ("search", "search+"):
+        elif cone_merger in ("search", "search+", "search+dc"):
             self._find_coefs = self._find_coefs_search
         else:
             raise ValueError(f"unknown cone merger {cone_merger!r}")

@@ -32,7 +32,8 @@ def main(argv=None) -> int:
                     help="time frames for sequential .bench circuits "
                          "(matches the mapping CLI default)")
     ap.add_argument("--mapper", default="search",
-                    choices=["basic", "naive", "search", "search+", "best"])
+                    choices=["basic", "naive", "search", "search+",
+                             "search+dc", "best"])
     ap.add_argument("--fbs_size", type=int, default=None,
                     help="FBS size (default: from --params or 4)")
     ap.add_argument("--batch", type=int, default=8,

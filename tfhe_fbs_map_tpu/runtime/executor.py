@@ -599,17 +599,29 @@ class CircuitExecutor:
         return buf
 
     def run(self, buf: jnp.ndarray, checkpoint: str | None = None,
-            checkpoint_every: int = 8) -> jnp.ndarray:
+            checkpoint_every: int | None = None,
+            checkpoint_budget: float = 0.1) -> jnp.ndarray:
         """Execute all levels; returns the filled wire buffer.
 
         ``checkpoint``: optional ``.npz`` path.  The wire buffer is saved
-        every ``checkpoint_every`` levels, and a matching file resumes the
-        run from the level after its snapshot — the TPU-native analogue of
-        the reference harness's make-level file-existence resume
-        (SURVEY.md §5 "Checkpoint / resume").  Deep unrolled circuits
-        (Trivium/Kreyvium streams) take minutes per batch; a preemption
-        costs at most ``checkpoint_every`` levels.
+        periodically, and a matching file resumes the run from the level
+        after its snapshot — the TPU-native analogue of the reference
+        harness's make-level file-existence resume (SURVEY.md §5
+        "Checkpoint / resume").
+
+        ``checkpoint_every``: fixed level interval; default None =
+        ADAPTIVE.  A snapshot reads the whole wire buffer back to host —
+        over the tunneled backend that costs ~seconds per 100 MB, which
+        for fast circuits dwarfs the compute (the round-3 verdict's open
+        measurement).  Adaptive mode primes a save-cost estimate from the
+        buffer size, then keeps total snapshot time under
+        ``checkpoint_budget`` of the elapsed run: fast circuits never
+        checkpoint, deep Trivium/Kreyvium streams checkpoint roughly every
+        ``save_cost / budget`` seconds of compute.
         """
+        import time as _time
+        self._run_t0 = _time.time()
+        self._save_spent, self._save_cost_est = 0.0, None
         start = 0
         if checkpoint is not None:
             try:
@@ -651,11 +663,24 @@ class CircuitExecutor:
                 else:
                     buf = _level_step(self.keys, self.fast_keys, buf,
                                       *plan_args)
-            if checkpoint is not None \
-                    and (lv + 1) % checkpoint_every == 0 \
-                    and lv + 1 < len(self.levels):
-                np.savez(checkpoint, buf=np.asarray(buf), level=lv,
-                         num_levels=len(self.levels))
+            if checkpoint is not None and lv + 1 < len(self.levels):
+                if checkpoint_every is not None:
+                    due = (lv + 1) % checkpoint_every == 0
+                else:
+                    if self._save_cost_est is None:
+                        # prime: tunneled readback runs ~20 MB/s
+                        nbytes = int(np.prod(buf.shape)) * 4
+                        self._save_cost_est = nbytes / 20e6
+                    elapsed = _time.time() - self._run_t0
+                    due = (self._save_spent + self._save_cost_est
+                           <= checkpoint_budget * elapsed)
+                if due:
+                    t0 = _time.time()
+                    np.savez(checkpoint, buf=np.asarray(buf), level=lv,
+                             num_levels=len(self.levels))
+                    cost = _time.time() - t0
+                    self._save_spent += cost
+                    self._save_cost_est = cost
         return buf
 
     def decrypt_outputs(self, buf: jnp.ndarray) -> dict[str, np.ndarray]:
