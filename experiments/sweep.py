@@ -167,22 +167,28 @@ def add_estimates(rows: list[dict], csv_path: Path) -> None:
         r["total_cost"] = round(nb * memo[key], 1) if memo[key] == memo[key] \
             else float("nan")
         # staged-pipeline estimate (runtime/executor.py dual-family plan):
-        # probe the mapped program for realizability + post-scaling norms
+        # probe the mapped program for realizability, post-scaling norms,
+        # and the node routing mix; the search objective is the
+        # whole-program cost under that mix
         r["staged_boot_cost"] = r["staged_total"] = ""
         p = int(r["fbs_size"])
         lbf = Path(str(r.get("output_lbf", "")))
-        if p >= 16 and p % 2 == 0 and lbf.is_file():
+        if p >= 10 and p % 2 == 0 and lbf.is_file():
             try:
                 prog = parse_lbf(lbf.read_text())
-                eff1, eff2 = staged_probe(prog, p)
-                skey = (p, eff1, eff2)
+                eff1, eff2, routes = staged_probe(prog, p)
+                w1 = routes["f1"] + routes["split"]
+                w2 = routes["f2"] + routes["split"]
+                n_boots = max(1, sum(routes.values()))
+                skey = (p, eff1, eff2, w1, w2)
                 if skey not in smemo:
-                    ssol = optimize_staged(p, eff1, eff2)
+                    ssol = optimize_staged(p, eff1, eff2,
+                                           weight1=w1, weight2=w2)
                     smemo[skey] = round(ssol.cost, 1) if ssol \
                         else float("nan")
                 if smemo[skey] == smemo[skey]:
-                    r["staged_boot_cost"] = smemo[skey]
-                    r["staged_total"] = round(nb * smemo[skey], 1)
+                    r["staged_total"] = smemo[skey]
+                    r["staged_boot_cost"] = round(smemo[skey] / n_boots, 1)
             except (ValueError, AssertionError):
                 pass            # not staged-realizable: native estimate only
     keys = sorted({k for r in rows for k in r})

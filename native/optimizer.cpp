@@ -259,8 +259,8 @@ struct StagedSolutionC {
 // Mirror of optimizer.py optimize_staged (bit-identical enumeration).
 int32_t optimize_staged_params(int32_t p, double sq_norm1, double sq_norm2,
                                double max_p_error, int32_t big_dim,
-                               int32_t wires_from_stage2,
-                               StagedSolutionC* out) {
+                               int32_t wires_from_stage2, double weight1,
+                               double weight2, StagedSolutionC* out) {
   if (p % 2 || p < 8) return 0;
   const int stage1_p = p >= 2 * SELECT_P * 2 ? p / 2 : p;
   bool found = false;
@@ -273,9 +273,9 @@ int32_t optimize_staged_params(int32_t p, double sq_norm1, double sq_norm2,
     if (c2s.empty() || c1s.empty()) continue;
     double min_c1 = c1s.front().cost;
     for (const Cand& c2 : c2s) {
-      if (found && c2.cost + min_c1 >= best_cost) break;
+      if (found && weight2 * c2.cost + weight1 * min_c1 >= best_cost) break;
       for (const Cand& c1 : c1s) {
-        double tot = c1.cost + c2.cost;
+        double tot = weight1 * c1.cost + weight2 * c2.cost;
         if (found && tot >= best_cost) break;
         double vw = wires_from_stage2 ? c2.vw
                                       : (c1.vw > c2.vw ? c1.vw : c2.vw);

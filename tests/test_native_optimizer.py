@@ -80,16 +80,20 @@ def test_native_is_fast():
     assert time.time() - t0 < 5.0
 
 
-@pytest.mark.parametrize("p,n1,n2", [(32, 4.0, 2.0), (16, 4.0, 2.0),
-                                     (32, 340.0, 257.0), (20, 9.0, 3.0)])
-def test_staged_native_matches_python(p, n1, n2):
+@pytest.mark.parametrize("p,n1,n2,w", [(32, 4.0, 2.0, (1, 1)),
+                                       (16, 4.0, 2.0, (1, 1)),
+                                       (32, 340.0, 257.0, (1, 1)),
+                                       (20, 9.0, 3.0, (1, 1)),
+                                       (10, 6.0, 3.0, (40, 4000)),
+                                       (32, 4.0, 2.0, (120, 700))])
+def test_staged_native_matches_python(p, n1, n2, w):
     from tfhe_fbs_map_tpu.optimizer.native import (native_available,
                                                    optimize_staged_native)
     from tfhe_fbs_map_tpu.optimizer.optimizer import optimize_staged
     if not native_available():
         pytest.skip("no native toolchain")
-    py = optimize_staged(p, n1, n2)
-    nat = optimize_staged_native(p, n1, n2)
+    py = optimize_staged(p, n1, n2, weight1=w[0], weight2=w[1])
+    nat = optimize_staged_native(p, n1, n2, weight1=w[0], weight2=w[1])
     if py is None:
         assert nat is None
         return

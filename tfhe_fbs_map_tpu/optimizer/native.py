@@ -68,7 +68,8 @@ def _load():
     _lib.optimize_staged_params.restype = ctypes.c_int32
     _lib.optimize_staged_params.argtypes = [
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(_CStagedSolution)]
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(_CStagedSolution)]
     i32, f64 = ctypes.c_int32, ctypes.c_double
     for name, argtypes in {
         "nv_var_blind_rotate": [i32, i32, i32, i32, i32, f64],
@@ -131,7 +132,8 @@ def optimize_staged_native(p: int, sq_norm1: float = 4.0,
                            sq_norm2: float = 2.0,
                            max_p_error: float | None = None,
                            big_dim: int = 1024,
-                           wires_from_stage2: bool = True):
+                           wires_from_stage2: bool = True,
+                           weight1: float = 1.0, weight2: float = 1.0):
     """Native mirror of :func:`optimizer.optimize_staged` (bit-identical
     enumeration; the lockstep test compares full solutions)."""
     from ..tfhe.staged import SELECT_P
@@ -142,7 +144,8 @@ def optimize_staged_native(p: int, sq_norm1: float = 4.0,
     ok = lib.optimize_staged_params(
         p, float(sq_norm1), float(sq_norm2),
         float(P_ERROR_4_SIGMA if max_p_error is None else max_p_error),
-        big_dim, 1 if wires_from_stage2 else 0, ctypes.byref(out))
+        big_dim, 1 if wires_from_stage2 else 0, float(weight1),
+        float(weight2), ctypes.byref(out))
     if not ok:
         return None
     pr1 = TFHEParams(p=out.p1, lwe_dim=out.n, glwe_dim=out.k1,

@@ -160,8 +160,16 @@ class StagedSolution:
 def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
                     max_p_error: float = P_ERROR_4_SIGMA,
                     big_dim: int = 1024,
-                    wires_from_stage2: bool = True) -> StagedSolution | None:
+                    wires_from_stage2: bool = True,
+                    weight1: float = 1.0,
+                    weight2: float = 1.0) -> StagedSolution | None:
     """Cheapest staged-pipeline parameters for a size-p node.
+
+    ``weight1``/``weight2``: per-family boot counts of the target program
+    (runtime/executor.py routing mix) — the objective is the
+    whole-program cost ``w1*cost1 + w2*cost2``, so a mostly-select-family
+    program optimizes the select family hardest.  ``Solution.cost`` is
+    that weighted objective.
 
     Default norms assume scaled wire encodings (every wire pre-scaled to
     its consumer coefficient: stage-1 eats |A| unit-multiplier wires,
@@ -220,10 +228,11 @@ def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
             continue
         min_c1 = c1s[0][0]
         for cost2, v2, ks2, ms2, k2, N2, bl2, bb2, kl2, kb2 in c2s:
-            if best is not None and cost2 + min_c1 >= best.cost:
+            if best is not None \
+                    and weight2 * cost2 + weight1 * min_c1 >= best.cost:
                 break
             for cost1, v1, ks1, ms1, k1, N1, bl1, bb1, kl1, kb1 in c1s:
-                tot = cost1 + cost2
+                tot = weight1 * cost1 + weight2 * cost2
                 if best is not None and tot >= best.cost:
                     break
                 # In the all-staged regime every circuit wire is a stage-2

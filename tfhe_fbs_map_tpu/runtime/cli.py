@@ -116,16 +116,24 @@ def main(argv=None) -> int:
     # compile the program onto the dual-family plan WITHOUT keys to learn
     # whether it is realizable and what its post-scaling norms are
     staged_sol = None
+    staged_nb = 1
     p_run = max(p_needed, args.fbs_size or p_needed)
     if args.staged != "off" and not args.keys and not args.test_params \
-            and p_run >= 16 and p_run % 2 == 0:
+            and p_run >= 10 and p_run % 2 == 0:
         from ..optimizer.optimizer import optimize_staged
         from .executor import staged_probe
         try:
-            eff1, eff2 = staged_probe(prog, p_run)
+            eff1, eff2, routes = staged_probe(prog, p_run)
+            # the search objective is the WHOLE-PROGRAM cost under the
+            # node routing mix (an f2 single costs one select-family
+            # boot, not a split pair)
+            w1 = routes["f1"] + routes["split"]
+            w2 = routes["f2"] + routes["split"]
+            staged_nb = max(1, sum(routes.values()))
             kw = ({"max_p_error": args.p_error}
                   if args.p_error is not None else {})
-            staged_sol = optimize_staged(p_run, eff1, eff2, **kw)
+            staged_sol = optimize_staged(p_run, eff1, eff2,
+                                         weight1=w1, weight2=w2, **kw)
         except ValueError as e:
             if args.staged == "on":
                 print(f"--staged on: {e}", file=sys.stderr)
@@ -150,15 +158,17 @@ def main(argv=None) -> int:
                 print("no parameter set satisfies the error target",
                       file=sys.stderr)
                 return 1
+            # staged_sol.cost is the whole-program weighted cost; compare
+            # against the native per-boot cost times the boot count
             use_staged = staged_sol is not None and (
                 args.staged == "on" or sol is None
-                or staged_sol.cost < sol.cost)
+                or staged_sol.cost < sol.cost * staged_nb)
         if use_staged:
             from ..tfhe.staged import generate_staged_keys
             print(f"# staged params: fam1={staged_sol.params1} "
                   f"fam2={staged_sol.params2} "
-                  f"(cost {staged_sol.cost:.0f}us/boot vs native "
-                  f"{sol.cost if sol else float('nan'):.0f})",
+                  f"(program cost {staged_sol.cost:.0f}us vs native "
+                  f"{(sol.cost * staged_nb) if sol else float('nan'):.0f})",
                   file=sys.stderr)
             t0 = time.time()
             keys = generate_staged_keys(p_run, staged_sol.params1,

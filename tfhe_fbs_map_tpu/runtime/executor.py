@@ -367,7 +367,9 @@ class CircuitExecutor:
             2 if e["kind"] == "split" else 1
             for lvl in entries.values() for e in lvl)
         # effective post-scaling squared norms per family (for the noise
-        # model: optimize_staged(p, eff_norm1, eff_norm2))
+        # model: optimize_staged(p, eff_norm1, eff_norm2)) and the node
+        # routing mix (for honest cost accounting: an f2 single costs one
+        # select-family boot, not a full split pair)
         self.eff_norm1 = max(
             (sum(c * c for c in e["coefs1"]) for lvl in entries.values()
              for e in lvl if "coefs1" in e), default=1)
@@ -376,6 +378,9 @@ class CircuitExecutor:
              + (1 if e["kind"] == "split" else 0)
              for lvl in entries.values() for e in lvl if e["kind"] != "f1"),
             default=1)
+        self.route_counts = {kind: sum(
+            1 for lvl in entries.values() for e in lvl if e["kind"] == kind)
+            for kind in ("f1", "f2", "split")}
 
         def bucket(nb: int) -> int:
             b = 1
@@ -725,14 +730,17 @@ class CircuitExecutor:
         return self.decrypt_outputs(buf)
 
 
-def staged_probe(prog: LutProgram, p: int) -> tuple[float, float]:
-    """Keyless staged-compile probe: (eff_norm1, eff_norm2).
+def staged_probe(prog: LutProgram, p: int
+                 ) -> tuple[float, float, dict[str, int]]:
+    """Keyless staged-compile probe: (eff_norm1, eff_norm2, route_counts).
 
     Compiles ``prog`` onto the dual-family plan with dummy parameter shells
     (no key material is touched at compile time) and returns the
     post-scaling effective squared norms the noise model needs
-    (``optimize_staged(p, eff1, eff2)``).  Raises ValueError when the
-    program has nodes the staged pipeline cannot realize.
+    (``optimize_staged(p, eff1, eff2)``) plus the per-routing node counts
+    ({"f1", "f2", "split"}) for honest whole-program cost accounting.
+    Raises ValueError when the program has nodes the staged pipeline
+    cannot realize.
     """
     from ..tfhe.params import TFHEParams as TP
     from ..tfhe.staged import SELECT_P, StagedKeys
@@ -748,7 +756,7 @@ def staged_probe(prog: LutProgram, p: int) -> tuple[float, float]:
 
     probe = CircuitExecutor(prog, StagedKeys(p=p, keys1=shell(p1, 1, 2048),
                                              keys2=shell(SELECT_P, 2, 1024)))
-    return probe.eff_norm1, probe.eff_norm2
+    return probe.eff_norm1, probe.eff_norm2, probe.route_counts
 
 
 def _lincomb_flat(buf, wire_idx, coefs, consts):
