@@ -251,7 +251,7 @@ struct StagedSolutionC {
   // family 1 (stage-1 grid p/2, or p itself when p < 32)
   int32_t p1, n, k1, N1, bl1, bb1, kl1, kb1;
   // family 2 (select grid, p = 8)
-  int32_t k2, N2, bl2, bb2, kl2, kb2;
+  int32_t p2, k2, N2, bl2, bb2, kl2, kb2;
   double lwe_noise_std, glwe1_noise_std, glwe2_noise_std;
   double cost_us, p_error;
 };
@@ -263,12 +263,13 @@ int32_t optimize_staged_params(int32_t p, double sq_norm1, double sq_norm2,
                                double weight2, StagedSolutionC* out) {
   if (p % 2 || p < 8) return 0;
   const int stage1_p = p >= 2 * SELECT_P * 2 ? p / 2 : p;
+  const int select_p = p % SELECT_P == 0 ? SELECT_P : p / 2;
   bool found = false;
   double best_cost = 1e300;
   for (int n = 450; n < 1100; n += 32) {
     double lwe_std = min_noise_std_rel(n) * Q;
     std::vector<Cand> c2s, c1s;
-    staged_candidates(n, 2 * SELECT_P, big_dim, c2s);
+    staged_candidates(n, 2 * select_p, big_dim, c2s);
     staged_candidates(n, 2 * stage1_p, big_dim, c1s);
     if (c2s.empty() || c1s.empty()) continue;
     double min_c1 = c1s.front().cost;
@@ -281,8 +282,8 @@ int32_t optimize_staged_params(int32_t p, double sq_norm1, double sq_norm2,
                                       : (c1.vw > c2.vw ? c1.vw : c2.vw);
         double e1 = p_error_from_var(stage1_p, sq_norm1 * vw + c1.ks + c1.ms);
         if (e1 > max_p_error) continue;
-        double e2 =
-            p_error_from_var(SELECT_P, c1.vw + sq_norm2 * vw + c2.ks + c2.ms);
+        double e2 = p_error_from_var(
+            select_p, c1.vw + sq_norm2 * vw + c2.ks + c2.ms);
         if (e2 > max_p_error) continue;
         found = true;
         best_cost = tot;
@@ -290,6 +291,7 @@ int32_t optimize_staged_params(int32_t p, double sq_norm1, double sq_norm2,
         out->n = n;
         out->k1 = c1.k, out->N1 = c1.N, out->bl1 = c1.bl, out->bb1 = c1.bb;
         out->kl1 = c1.kl, out->kb1 = c1.kb;
+        out->p2 = select_p;
         out->k2 = c2.k, out->N2 = c2.N, out->bl2 = c2.bl, out->bb2 = c2.bb;
         out->kl2 = c2.kl, out->kb2 = c2.kb;
         out->lwe_noise_std = lwe_std;

@@ -117,3 +117,31 @@ def test_staged_executor_rejects_unsplittable(skeys32):
     prog.output("o", prog.bootstrap(prog.linear([1] * 20, w, 0), t))
     with pytest.raises(ValueError, match="staged pipeline cannot realize"):
         CircuitExecutor(prog, skeys32)
+
+
+def test_staged_executor_p10_select_grid():
+    """p=10: the select family sits on the p/2=5 grid (8 does not divide
+    10, so the q/16 grid is incommensurable with the q/20 wire grid) —
+    a Kreyvium-class program routes small tables to it correctly."""
+    from tfhe_fbs_map_tpu.frontend.circuits import build_bench
+    from tfhe_fbs_map_tpu.frontend.mapping.heuristic import HeuristicMapper
+    circ = build_bench("kreyvium_iter_v1")
+    prog = HeuristicMapper(cone_merger="search", fbs_size=10).map(circ)
+    prog.remove_dangling_nodes()
+    f1 = TFHEParams(p=10, lwe_dim=16, glwe_dim=1, poly_size=256,
+                    bsk_level=3, bsk_base_log=7, ksk_level=4, ksk_base_log=4,
+                    lwe_noise_std=2.0, glwe_noise_std=2.0)
+    f2 = TFHEParams(p=5, lwe_dim=16, glwe_dim=2, poly_size=128,
+                    bsk_level=3, bsk_base_log=7, ksk_level=4, ksk_base_log=4,
+                    lwe_noise_std=2.0, glwe_noise_std=2.0)
+    skeys = generate_staged_keys(10, f1, f2, seed=13)
+    ex = CircuitExecutor(prog, skeys)
+    assert ex.route_counts["f2"] >= 1       # small tables hit the 5-grid
+    rng = np.random.default_rng(14)
+    values = {n.name: rng.integers(0, 2, 8)
+              for n in prog.nodes if n.kind == "input"}
+    oracle = prog.eval(values)
+    got = ex.run_cleartext(values, seed=15)
+    for k, want in oracle.items():
+        np.testing.assert_array_equal(
+            got[k] % 20, np.asarray(want) % 20, err_msg=k)

@@ -42,6 +42,7 @@ class _CStagedSolution(ctypes.Structure):
         ("k1", ctypes.c_int32), ("N1", ctypes.c_int32),
         ("bl1", ctypes.c_int32), ("bb1", ctypes.c_int32),
         ("kl1", ctypes.c_int32), ("kb1", ctypes.c_int32),
+        ("p2", ctypes.c_int32),
         ("k2", ctypes.c_int32), ("N2", ctypes.c_int32),
         ("bl2", ctypes.c_int32), ("bb2", ctypes.c_int32),
         ("kl2", ctypes.c_int32), ("kb2", ctypes.c_int32),
@@ -136,7 +137,6 @@ def optimize_staged_native(p: int, sq_norm1: float = 4.0,
                            weight1: float = 1.0, weight2: float = 1.0):
     """Native mirror of :func:`optimizer.optimize_staged` (bit-identical
     enumeration; the lockstep test compares full solutions)."""
-    from ..tfhe.staged import SELECT_P
     from .noise import P_ERROR_4_SIGMA
     from .optimizer import StagedSolution
     lib = _load()
@@ -153,7 +153,7 @@ def optimize_staged_native(p: int, sq_norm1: float = 4.0,
                      bsk_base_log=out.bb1, ksk_level=out.kl1,
                      ksk_base_log=out.kb1, lwe_noise_std=out.lwe_noise_std,
                      glwe_noise_std=out.glwe1_noise_std)
-    pr2 = TFHEParams(p=SELECT_P, lwe_dim=out.n, glwe_dim=out.k2,
+    pr2 = TFHEParams(p=out.p2, lwe_dim=out.n, glwe_dim=out.k2,
                      poly_size=out.N2, bsk_level=out.bl2,
                      bsk_base_log=out.bb2, ksk_level=out.kl2,
                      ksk_base_log=out.kb2, lwe_noise_std=out.lwe_noise_std,

@@ -133,7 +133,10 @@ def staged_p_errors(p: int, sq_norm1: float, sq_norm2: float, n: int,
     vt2 = (v1 + sq_norm2 * v_wire
            + var_keyswitch(k2, N2, kl2, kb2, lwe_noise_std)
            + var_modswitch(n, N2))
-    return p_error_from_var(p // 2, vt1), p_error_from_var(8, vt2)
+    stage1_p = p // 2 if p >= 32 else p
+    select_p = 8 if p % 8 == 0 else p // 2
+    return (p_error_from_var(stage1_p, vt1),
+            p_error_from_var(select_p, vt2))
 
 
 # 4-sigma default target, as in the reference pipeline

@@ -187,8 +187,11 @@ def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
     # itself for p <= 16, where fam1 is the catch-all single-boot family
     # and fam2 still takes the small tables (runtime/executor.py routing)
     stage1_p = p // 2 if p >= 2 * SELECT_P * 2 else p
+    # select-family grid: SELECT_P when commensurable with the wire grid,
+    # else p/2 (runtime/executor.py routing; splits need SELECT_P exactly)
+    select_p = SELECT_P if p % SELECT_P == 0 else p // 2
     shapes = [(k, big_dim // k) for k in (1, 2, 4)
-              if big_dim % k == 0 and big_dim // k >= 2 * SELECT_P]
+              if big_dim % k == 0 and big_dim // k >= 2 * select_p]
 
     def candidates(n: int, min_N: int) -> list:
         """(cost, v_wire, ks_var, ms_var, k, N, bl, bb, kl, kb), cost-sorted.
@@ -222,7 +225,7 @@ def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
     best: StagedSolution | None = None
     for n in range(450, 1100, 32):
         lwe_std = min_noise_std_rel(n) * Q
-        c2s = candidates(n, 2 * SELECT_P)
+        c2s = candidates(n, 2 * select_p)
         c1s = candidates(n, 2 * stage1_p)
         if not c2s or not c1s:
             continue
@@ -243,7 +246,8 @@ def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
                                       sq_norm1 * vw + ks1 + ms1)
                 if e1 > max_p_error:
                     continue
-                e2 = p_error_from_var(SELECT_P, v1 + sq_norm2 * vw + ks2 + ms2)
+                e2 = p_error_from_var(select_p,
+                                      v1 + sq_norm2 * vw + ks2 + ms2)
                 if e2 > max_p_error:
                     continue
                 pr1 = TFHEParams(p=stage1_p, lwe_dim=n, glwe_dim=k1,
@@ -251,7 +255,7 @@ def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
                                  ksk_level=kl1, ksk_base_log=kb1,
                                  lwe_noise_std=lwe_std,
                                  glwe_noise_std=min_noise_std_rel(k1 * N1) * Q)
-                pr2 = TFHEParams(p=SELECT_P, lwe_dim=n, glwe_dim=k2,
+                pr2 = TFHEParams(p=select_p, lwe_dim=n, glwe_dim=k2,
                                  poly_size=N2, bsk_level=bl2, bsk_base_log=bb2,
                                  ksk_level=kl2, ksk_base_log=kb2,
                                  lwe_noise_std=lwe_std,

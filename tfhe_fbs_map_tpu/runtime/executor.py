@@ -281,8 +281,10 @@ class CircuitExecutor:
                 # grid need c * p/p1
                 m1 = p // k1p.p
                 m2 = p // k2p.p
-                splits_ok = (k1p.p == p // 2)
-                if can_single(table, k2p.p):
+                # splits are wired for the SELECT_P select grid; singles
+                # need the family grid to divide the wire grid (p2 | p)
+                splits_ok = (k1p.p == p // 2 and p % (2 * k2p.p) == 0)
+                if p % k2p.p == 0 and can_single(table, k2p.p):
                     kind, split = "f2", None
                     for r, c in zip(rows, coefs):
                         needs.setdefault(r, set()).add(m2 * c)
@@ -686,6 +688,11 @@ class CircuitExecutor:
                     cost = _time.time() - t0
                     self._save_spent += cost
                     self._save_cost_est = cost
+                    import sys as _sys
+                    print(f"# checkpoint level {lv}: {cost:.2f}s "
+                          f"(total {self._save_spent:.2f}s of "
+                          f"{_time.time() - self._run_t0:.2f}s)",
+                          file=_sys.stderr)
         return buf
 
     def decrypt_outputs(self, buf: jnp.ndarray) -> dict[str, np.ndarray]:
@@ -746,6 +753,7 @@ def staged_probe(prog: LutProgram, p: int
     from ..tfhe.staged import SELECT_P, StagedKeys
 
     p1 = p // 2 if p >= 32 else p
+    p2 = SELECT_P if p % SELECT_P == 0 else p // 2
 
     def shell(pp, k, N):
         return TFHEKeys(params=TP(p=pp, lwe_dim=16, glwe_dim=k, poly_size=N,
@@ -755,7 +763,7 @@ def staged_probe(prog: LutProgram, p: int
                         lwe_key=None, glwe_key=None, bsk=None, ksk=None)
 
     probe = CircuitExecutor(prog, StagedKeys(p=p, keys1=shell(p1, 1, 2048),
-                                             keys2=shell(SELECT_P, 2, 1024)))
+                                             keys2=shell(p2, 2, 1024)))
     return probe.eff_norm1, probe.eff_norm2, probe.route_counts
 
 

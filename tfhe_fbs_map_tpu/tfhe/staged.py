@@ -169,8 +169,12 @@ def generate_staged_keys(p: int, params1: TFHEParams, params2: TFHEParams,
         "families must share the small LWE key"
     # fam1 on the p/2 grid enables two-stage splits (the p=32 design);
     # fam1 on the p grid covers every mapper-emitted table as one boot
-    # while fam2 still takes the small ones (the p<=16 design)
-    assert params1.p in (p // 2, p) and params2.p == SELECT_P
+    # while fam2 still takes the small ones (the p<=16 design).  fam2's
+    # grid must be commensurable with the q/2p wire grid: p2 | p (the
+    # select constant SELECT_P=8 when 8 | p, else p/2 — splits are only
+    # wired for the SELECT_P grid).
+    assert params1.p in (p // 2, p)
+    assert params2.p == SELECT_P or p % params2.p == 0
     rng = np.random.default_rng(seed)
     master = rng.integers(0, 2, params1.big_dim, dtype=np.int64) \
         .astype(np.int32)
