@@ -3,6 +3,16 @@
 # generated suite needs none). Mirrors the reference's fetch steps
 # (gen_makefile_epfl.bash:7, gen_makefile_iscas85.bash:7,
 #  gen_makefile_iscas89.bash:7, gen_makefile_bristol.bash:4).
+#
+# WITHOUT egress the repo ships verified regenerations instead:
+#  * benchmarks/iscas85/*r.bench + iscas89/*r.bench — functional
+#    equivalents from the published specs, golden-model verified
+#    (frontend/circuits/bench_regen.py);
+#  * benchmarks/epfl/*.blif — exact-function arithmetic regenerations
+#    (circuits/generators.py EPFL_GENERATORS);
+#  * benchmarks/bristol/aes_128.txt — generated AES-128, FIPS-197
+#    verified (circuits/aes128.py).
+# Canonical files fetched here take precedence when present.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p benchmarks

@@ -320,7 +320,8 @@ class CircuitExecutor:
             elif spec_node.kind not in (N_CONST,):
                 needs.setdefault(wire_row[spec_node.name], set()).add(1)
 
-        scale = {r: math.gcd(*ns) if len(ns) > 1 else next(iter(ns))
+        scale = {r: max(1, math.gcd(*ns) if len(ns) > 1
+                        else abs(next(iter(ns))))
                  for r, ns in needs.items()}
         self.row_scale = np.ones(len(wire_row) + 1, dtype=np.int64)
         for r, s in scale.items():
