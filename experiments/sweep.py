@@ -184,6 +184,9 @@ def add_estimates(rows: list[dict], csv_path: Path) -> None:
                 if skey not in smemo:
                     ssol = optimize_staged(p, eff1, eff2,
                                            weight1=w1, weight2=w2)
+                    if ssol is None:    # kN=2048 fallback (cleaner keys)
+                        ssol = optimize_staged(p, eff1, eff2, weight1=w1,
+                                               weight2=w2, big_dim=2048)
                     smemo[skey] = round(ssol.cost, 1) if ssol \
                         else float("nan")
                 if smemo[skey] == smemo[skey]:

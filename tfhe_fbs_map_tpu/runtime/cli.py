@@ -134,6 +134,13 @@ def main(argv=None) -> int:
                   if args.p_error is not None else {})
             staged_sol = optimize_staged(p_run, eff1, eff2,
                                          weight1=w1, weight2=w2, **kw)
+            if staged_sol is None:
+                # high effective norms: retry with the kN=2048 master
+                # (the GLWE noise floor clamp makes its keys ~2^12x
+                # cleaner; cost roughly doubles per boot)
+                staged_sol = optimize_staged(p_run, eff1, eff2,
+                                             weight1=w1, weight2=w2,
+                                             big_dim=2048, **kw)
         except ValueError as e:
             if args.staged == "on":
                 print(f"--staged on: {e}", file=sys.stderr)
