@@ -15,8 +15,12 @@ echo "=== anchor fused"
 python bench.py --batch 512 --iters 8 2>outputs/tpu_runs/anchor_fused.err | tee outputs/tpu_runs/anchor_fused.json
 echo "=== kreyvium staged (4-sigma default)"
 python -m tfhe_fbs_map_tpu.runtime outputs/generated/kreyvium_stream_v1_10_search.lbf \
-  --batch 16 --repeat 2 2>outputs/tpu_runs/kreyvium_staged.err | tail -1 | tee outputs/tpu_runs/kreyvium_staged.json
+  --batch 16 --repeat 2 --checkpoint /tmp/kv_r4.ckpt.npz --checkpoint-every 12 \
+  2>outputs/tpu_runs/kreyvium_staged.err | tail -1 | tee outputs/tpu_runs/kreyvium_staged.json
 echo "=== c6288r p=30 staged"
 python -m tfhe_fbs_map_tpu.runtime outputs/iscas85/c6288r_30_search.lbf \
   --batch 16 --repeat 2 2>outputs/tpu_runs/c6288r_30_staged.err | tail -1 | tee outputs/tpu_runs/c6288r_30.json
+echo "=== AES-128 (Bristol flagship, p=4)"
+python -m tfhe_fbs_map_tpu.runtime outputs/bristol/aes_128_4_search.lbf \
+  --batch 16 --repeat 2 2>outputs/tpu_runs/aes_128_4.err | tail -1 | tee outputs/tpu_runs/aes_128_4.json
 echo "=== chain done"

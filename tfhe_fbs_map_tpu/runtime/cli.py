@@ -42,8 +42,13 @@ def main(argv=None) -> int:
     ap.add_argument("--save-keys", help="write generated keys here")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--checkpoint", default=None,
-                    help=".npz path: snapshot the wire buffer every few "
-                         "levels and resume an interrupted run from it")
+                    help=".npz path: snapshot the wire buffer periodically "
+                         "and resume an interrupted run from it (adaptive: "
+                         "snapshot cost stays under ~10%% of compute)")
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    help="fixed level interval for snapshots (overrides "
+                         "the adaptive schedule; used to measure the "
+                         "tunneled readback cost)")
     ap.add_argument("--repeat", type=int, default=1,
                     help="run the circuit this many times; report the last "
                          "(steady-state, compile cache warm)")
@@ -268,7 +273,8 @@ def main(argv=None) -> int:
         t0 = time.time()
         # checkpointing only applies to the first run: later repeats are
         # steady-state timing and must not resume from its snapshots
-        buf = ex.run(buf0, checkpoint=args.checkpoint if rep == 0 else None)
+        buf = ex.run(buf0, checkpoint=args.checkpoint if rep == 0 else None,
+                     checkpoint_every=args.checkpoint_every)
         _ = np.asarray(buf[:1, :1, -1:])   # force completion
         run_s = time.time() - t0
     got = ex.decrypt_outputs(buf)
