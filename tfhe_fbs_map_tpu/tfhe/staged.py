@@ -52,7 +52,8 @@ from .numeric import I32
 from .params import Q, TFHEParams
 
 __all__ = ["StagedSplit", "split_node", "StagedKeys", "generate_staged_keys",
-           "staged_tables", "staged_functional_bootstrap", "SELECT_P"]
+           "staged_tvs", "staged_functional_bootstrap", "encrypt_wires",
+           "SELECT_P"]
 
 # Stage-2 (branch select) always runs on the p=8 grid: z = G + 4*x_hi with
 # G in [0,4) and x_hi in [0,4) spans [0,16) = one negacyclic length-16 table.
