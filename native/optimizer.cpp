@@ -119,7 +119,7 @@ struct Cand {
 
 void staged_candidates(int n, int min_N, int big_dim, std::vector<Cand>& out) {
   double lwe_std = min_noise_std_rel(n) * Q;
-  const int ks_choices[3] = {1, 2, 4};
+  const int ks_choices[2] = {1, 2};
   for (int k : ks_choices) {
     if (big_dim % k) continue;
     int N = big_dim / k;

@@ -190,7 +190,9 @@ def optimize_staged(p: int, sq_norm1: float = 4.0, sq_norm2: float = 2.0,
     # select-family grid: SELECT_P when commensurable with the wire grid,
     # else p/2 (runtime/executor.py routing; splits need SELECT_P exactly)
     select_p = SELECT_P if p % SELECT_P == 0 else p // 2
-    shapes = [(k, big_dim // k) for k in (1, 2, 4)
+    # k restricted to the fused-kernel-validated GLWE shapes (k in {1,2};
+    # PERF.md measurements cover (1,1024)/(2,512)/(1,2048)/(2,1024))
+    shapes = [(k, big_dim // k) for k in (1, 2)
               if big_dim % k == 0 and big_dim // k >= 2 * select_p]
 
     def candidates(n: int, min_N: int) -> list:

@@ -227,9 +227,23 @@ def main(argv=None) -> int:
             o1, o2 = pick_orient(keys.keys1.params), \
                 pick_orient(keys.keys2.params)
             if o1 and o2:
+                def prep(kk, orient):
+                    try:
+                        fk = prepare_fast_keys(kk, orientation=orient)
+                        _ = np.asarray(fk.bsk_kernels[:1, :1])
+                        return fk, orient
+                    except Exception as e:
+                        if orient != "fused" \
+                                or "RESOURCE_EXHAUSTED" not in str(e):
+                            raise
+                        # streamed matrices did not fit next to the other
+                        # family's keys: compact rotation-strip fallback
+                        return prepare_fast_keys(
+                            kk, orientation="fused_otf"), "fused_otf"
                 t0 = time.time()
-                fast = (prepare_fast_keys(keys.keys1, orientation=o1),
-                        prepare_fast_keys(keys.keys2, orientation=o2))
+                f1p, o1 = prep(keys.keys1, o1)
+                f2p, o2 = prep(keys.keys2, o2)
+                fast = (f1p, f2p)
                 print(f"# staged fast keys ({o1}+{o2}): "
                       f"{time.time() - t0:.1f}s", file=sys.stderr)
         else:
