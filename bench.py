@@ -67,9 +67,11 @@ def main() -> int:
     elif args.preset != "anchor":
         # the parameter optimizer's picks for larger FBS sizes (see
         # optimizer/optimizer.py; values pinned here so the bench is stable)
-        if args.preset in ("p16", "p32") and args.orientation == "fused":
-            # precomputed key matrices exceed HBM at N >= 1024 — go straight
-            # to the compact rotation-strip form instead of the OOM fallback
+        if args.preset in ("p8", "p16", "p32") and args.orientation == "fused":
+            # precomputed key matrices exceed HBM at N >= 1024, and p8's
+            # 12.1 GB build sits at the budget edge (a build at that size
+            # wedged the tunnel for 45 min, r4) — go straight to the
+            # compact rotation-strip form instead of the OOM fallback
             args.orientation = "fused_otf"
         # optimize(p, sq_norm2=2) picks — the bench workload is a fresh
         # bootstrap output fed back through an XOR-shaped lincomb (norm2 <=
