@@ -572,67 +572,69 @@ def _crc_taps(poly: int, nbits: int) -> list[int]:
     return [k for k in range(nbits) if (poly >> k) & 1]
 
 
-def gen_crc(name_bits: int, poly: int, n_in: int, n_probe: int):
-    """Galois-LFSR CRC with ``n_in`` serial inputs XORed in per clock and
-    ``n_probe`` probe outputs (state parities) — the workhorse for the
-    sequential size classes."""
+def gen_crc(name_bits: int, poly: int, n_in: int, n_probe: int,
+            steps: int = 1):
+    """Galois-LFSR CRC advancing ``steps`` positions per clock (the extra
+    advances are unrolled combinationally, matching the originals'
+    combinational mass), ``n_in`` parallel inputs injected round-robin
+    across the steps, ``n_probe`` state-parity probe outputs."""
+    taps = _crc_taps(poly, name_bits)
+
     def gen():
         b = BenchBuilder()
         din = b.inps("D", n_in)
-        state_d = [None] * name_bits          # next-state nets, filled below
-        # DFF outputs must exist before logic references them: pre-create
-        # with placeholder drivers replaced after.
-        b2 = b  # alias
-        # build with symbolic feedback: create DFFs on temp wires later.
-        # Trick: create DFF gates at the end referencing computed nets.
         q = [f"q{i}" for i in range(name_bits)]
-        # feedback = q[msb] ^ d0
-        fb = b2._g("XOR", q[name_bits - 1], din[0])
-        for extra in din[1:]:
-            fb = b2._g("XOR", fb, extra)
+        cur = list(q)                         # DFF outputs feed step 0
+        for s in range(steps):
+            ins = [din[j] for j in range(n_in) if j % steps == s]
+            fb = cur[name_bits - 1]
+            for extra in ins:
+                fb = b._g("XOR", fb, extra)
+            nxt = []
+            for i in range(name_bits):
+                if i == 0:
+                    nxt.append(b._g("BUFF", fb) if fb in q or steps == 1
+                               else fb)
+                elif i in taps:
+                    nxt.append(b._g("XOR", cur[i - 1], fb))
+                else:
+                    nxt.append(b._g("BUFF", cur[i - 1]))
+            cur = nxt
         for i in range(name_bits):
-            prev = q[i - 1] if i > 0 else None
-            if i == 0:
-                nxt = fb
-            elif i in _crc_taps(poly, name_bits):
-                nxt = b2._g("XOR", prev, fb)
-            else:
-                nxt = b2._g("BUFF", prev)
-            state_d[i] = nxt
-        for i in range(name_bits):
-            b2.gates.append((q[i], "DFF", [state_d[i]]))
+            b.gates.append((q[i], "DFF", [cur[i]]))
         for k in range(n_probe):
             grp = [q[i] for i in range(name_bits) if i % n_probe == k]
-            o = b2.tree(b2.xor, grp)
-            b2.gates.append((f"O{k}", "BUFF", [o]))
-            b2.out(f"O{k}")
-        return b2
+            o = b.tree(b.xor, grp)
+            b.gates.append((f"O{k}", "BUFF", [o]))
+            b.out(f"O{k}")
+        return b
 
     def golden_frames(frames, v):
         nb = next(iter(v.values())).shape[0]
         state = np.zeros((name_bits, nb), dtype=np.int64)
         outs = {}
-        taps = _crc_taps(poly, name_bits)
         for t in range(frames):
             sfx = f"_f{t}" if frames > 1 else ""
-            fb = state[name_bits - 1].copy()
-            for j in range(n_in):
-                fb ^= v[f"D{j}{sfx}"]
-            new = np.zeros_like(state)
-            for i in range(name_bits):
-                if i == 0:
-                    new[i] = fb
-                elif i in taps:
-                    new[i] = state[i - 1] ^ fb
-                else:
-                    new[i] = state[i - 1]
             for k in range(n_probe):
                 acc = np.zeros(nb, dtype=np.int64)
                 for i in range(name_bits):
                     if i % n_probe == k:
                         acc ^= state[i]
                 outs[f"O{k}{sfx}"] = acc
-            state = new
+            for s in range(steps):
+                fb = state[name_bits - 1].copy()
+                for j in range(n_in):
+                    if j % steps == s:
+                        fb ^= v[f"D{j}{sfx}"]
+                new = np.zeros_like(state)
+                for i in range(name_bits):
+                    if i == 0:
+                        new[i] = fb
+                    elif i in taps:
+                        new[i] = state[i - 1] ^ fb
+                    else:
+                        new[i] = state[i - 1]
+                state = new
         return outs
 
     return gen, golden_frames
@@ -750,12 +752,15 @@ def gen_counter(nbits: int, n_dec: int):
 # Registry + verification + emission
 # ---------------------------------------------------------------------------
 
-_crc16 = gen_crc(16, 0x8005, 2, 3)
-_crc21 = gen_crc(21, 0x10CAB5, 3, 3)       # s526-class (21 DFFs)
-_crc32a = gen_crc(32, 0x04C11DB7, 4, 4)
-_crc64 = gen_crc(64, 0x1B, 8, 6)           # s1423-class (74 DFF original)
-_crc96 = gen_crc(96, 0x04C11DB7, 12, 8)    # s5378-class
-_crc128 = gen_crc(128, 0x87, 16, 10)       # s9234-class
+# steps = combinational LFSR advances per clock, unrolled — sized so the
+# per-clock gate count lands in the original's class (s641 379, s526 193,
+# s1196 529, s1423 657, s5378 2779, s9234 5597 gates)
+_crc16 = gen_crc(16, 0x8005, 2, 3, steps=16)
+_crc21 = gen_crc(21, 0x10CAB5, 3, 3, steps=8)
+_crc32a = gen_crc(32, 0x04C11DB7, 4, 4, steps=16)
+_crc64 = gen_crc(64, 0x1B, 8, 6, steps=8)
+_crc96 = gen_crc(96, 0x04C11DB7, 12, 8, steps=24)
+_crc128 = gen_crc(128, 0x87, 16, 10, steps=32)
 _cnt14 = gen_counter(14, 3)                # s298-class (14 DFFs)
 _cnt16 = gen_counter(16, 4)                # s420-class
 _cnt32 = gen_counter(32, 6)                # s838-class
