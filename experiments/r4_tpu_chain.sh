@@ -13,6 +13,7 @@ run_step() {  # name cmd...
     echo "=== ${name}: done (skip)"; return
   fi
   echo "=== ${name}"
+  sleep 45     # let the tunneled backend settle between processes
   "$@" 2>"outputs/tpu_runs/${name}.err" | tail -1 | tee "outputs/tpu_runs/${name}.json"
 }
 
