@@ -180,13 +180,19 @@ def add_estimates(rows: list[dict], csv_path: Path) -> None:
                 w1 = routes["f1"] + routes["split"]
                 w2 = routes["f2"] + routes["split"]
                 n_boots = max(1, sum(routes.values()))
-                skey = (p, eff1, eff2, w1, w2)
+                # f1-single wires carry fam1's fresh-bootstrap variance:
+                # conservative wire bound unless everything is split/f2
+                # (runtime/cli.py passes the same flag)
+                wfs2 = routes["f1"] == 0
+                skey = (p, eff1, eff2, w1, w2, wfs2)
                 if skey not in smemo:
                     ssol = optimize_staged(p, eff1, eff2,
-                                           weight1=w1, weight2=w2)
+                                           weight1=w1, weight2=w2,
+                                           wires_from_stage2=wfs2)
                     if ssol is None:    # kN=2048 fallback (cleaner keys)
                         ssol = optimize_staged(p, eff1, eff2, weight1=w1,
-                                               weight2=w2, big_dim=2048)
+                                               weight2=w2, big_dim=2048,
+                                               wires_from_stage2=wfs2)
                     smemo[skey] = round(ssol.cost, 1) if ssol \
                         else float("nan")
                 if smemo[skey] == smemo[skey]:

@@ -133,6 +133,39 @@ def test_optimize_staged_beats_native_p32():
     assert staged.p_error <= 2 * P_ERROR_4_SIGMA
 
 
+def test_optimize_staged_f1_wire_variance():
+    """r4 regression: wires produced by f1 *singles* carry fam1's
+    fresh-bootstrap variance, not fam2's.  With the all-split default
+    (``wires_from_stage2=True``) the Kreyvium-1152 probe mix (8754 f1
+    singles, eff norms 27/25) picked an l=2/b=8 fam1 whose true stage-1
+    error was 0.22/boot (measured 9529/23040 wrong output bits on TPU);
+    the conservative flag must yield a self-consistent parameter set."""
+    from tfhe_fbs_map_tpu.optimizer.noise import (P_ERROR_4_SIGMA,
+                                                  staged_p_errors)
+    from tfhe_fbs_map_tpu.optimizer.optimizer import optimize_staged
+
+    def errors(sol, wfs2):
+        p1, p2 = sol.params1, sol.params2
+        return staged_p_errors(
+            10, 27.0, 25.0, p1.lwe_dim, p1.glwe_dim, p1.poly_size,
+            p1.bsk_level, p1.bsk_base_log, p1.ksk_level, p1.ksk_base_log,
+            p2.glwe_dim, p2.poly_size, p2.bsk_level, p2.bsk_base_log,
+            p2.ksk_level, p2.ksk_base_log, p1.lwe_noise_std,
+            p1.glwe_noise_std, p2.glwe_noise_std, wires_from_stage2=wfs2)
+
+    loose = optimize_staged(10, 27.0, 25.0, weight1=8754, weight2=93,
+                            wires_from_stage2=True)
+    tight = optimize_staged(10, 27.0, 25.0, weight1=8754, weight2=93,
+                            wires_from_stage2=False)
+    assert loose is not None and tight is not None
+    # the bug class: the all-split bound accepts parameters that blow up
+    # under the true (f1-single) wire variance ...
+    assert max(errors(loose, False)) > 100 * P_ERROR_4_SIGMA
+    # ... while the conservative flag is self-consistent under it
+    e1, e2 = errors(tight, False)
+    assert e1 <= P_ERROR_4_SIGMA and e2 <= P_ERROR_4_SIGMA
+
+
 def test_out_delta_scaling(skeys32):
     """A bootstrap can emit T[x]*c*delta at no extra noise (scaled wires)."""
     rng = np.random.default_rng(8)

@@ -137,6 +137,13 @@ def main(argv=None) -> int:
             staged_nb = max(1, sum(routes.values()))
             kw = ({"max_p_error": args.p_error}
                   if args.p_error is not None else {})
+            # wires produced by f1 singles carry fam1's (not fam2's)
+            # fresh-bootstrap variance: any f1 routing forces the
+            # conservative max(v1, v2) wire bound (noise.py:129).  With
+            # the all-split default a Kreyvium-class program (8754 f1
+            # singles) measured a 0.22/boot stage-1 error vs the 5e-5
+            # model.
+            kw["wires_from_stage2"] = routes["f1"] == 0
             staged_sol = optimize_staged(p_run, eff1, eff2,
                                          weight1=w1, weight2=w2, **kw)
             if staged_sol is None:
