@@ -178,10 +178,15 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 return 1
             # staged_sol.cost is the whole-program weighted cost; compare
-            # against the native per-boot cost times the boot count
+            # against the native per-boot cost times the boot count.  The
+            # model omits the dual-family per-level overheads (two kernel
+            # launches per level, padded tiny f2 batches): at model-cost
+            # parity the Kreyvium-1152 staged run measured 4.7x slower
+            # than native (861 vs 4016 boots/s, r4), so near-ties go
+            # native — staged must win by a clear margin.
             use_staged = staged_sol is not None and (
                 args.staged == "on" or sol is None
-                or staged_sol.cost < sol.cost * staged_nb)
+                or staged_sol.cost < 0.8 * sol.cost * staged_nb)
         if use_staged:
             from ..tfhe.staged import generate_staged_keys
             print(f"# staged params: fam1={staged_sol.params1} "
