@@ -29,7 +29,7 @@ run_step kreyvium_staged python -m tfhe_fbs_map_tpu.runtime \
 run_step preset_p16 python bench.py --preset p16 --batch 328 --iters 8
 
 # 3. Bristol AES-128 end-to-end on TPU (the reference's flagship Bristol
-#    artifact; VERDICT r3 missing #4) — p=4 search, 20903 bootstraps.
+#    artifact; VERDICT r3 missing #4) — p=4 search, 20759 bootstraps.
 run_step aes_128_4 python -m tfhe_fbs_map_tpu.runtime \
   outputs/bristol/aes_128_4_search.lbf \
   --batch 16 --repeat 2 --orientation fused_otf

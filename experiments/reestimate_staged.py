@@ -31,22 +31,33 @@ from sweep import SUITE_FORMAT, SUITE_OPT, SWEEPS  # noqa: E402
 BENCH_DIRS = {s: REPO / "benchmarks" / s for s in SWEEPS}
 
 
-def _map_one(args) -> tuple[str, str]:
-    """Re-map one (suite, bench, p, mapper) config; returns (key, lbf)."""
+def _map_one(args) -> tuple[str, bool]:
+    """Re-map one (suite, bench, p, mapper) config; returns (lbf, ok).
+
+    ``ok`` is False on a transient subprocess failure (non-zero exit,
+    timeout): the caller must then LEAVE the CSV row's old estimate in
+    place instead of clearing it (r4 advisor finding — a flaky run must
+    not erase committed estimates)."""
     suite, bench_file, p, mapper, lbf = args
     if Path(lbf).is_file():
-        return mapper, lbf
+        return lbf, True
     cmd = [sys.executable, "-m", "tfhe_fbs_map_tpu.frontend.cli",
            str(bench_file), "--type", SUITE_FORMAT[suite],
            "--fbs_size", str(p), "--mapper", mapper,
            "--output_lbf", str(lbf)]
     if suite in SUITE_OPT:
         cmd.append("--opt")
-    r = subprocess.run(cmd, capture_output=True, cwd=str(REPO))
+    try:
+        r = subprocess.run(cmd, capture_output=True, cwd=str(REPO),
+                           timeout=3600)
+    except subprocess.TimeoutExpired:
+        print(f"MAP TIMEOUT {bench_file} p={p} {mapper}", file=sys.stderr)
+        return lbf, False
     if r.returncode != 0:
         print(f"MAP FAILED {bench_file} p={p} {mapper}: "
               f"{r.stderr.decode()[-200:]}", file=sys.stderr)
-    return mapper, lbf
+        return lbf, False
+    return lbf, True
 
 
 def reestimate(suite: str, jobs: int) -> None:
@@ -73,62 +84,69 @@ def reestimate(suite: str, jobs: int) -> None:
         lbf = out_dir / f"{r['bench']}_{r['fbs_size']}_{r['mapper']}.lbf"
         jobs_args.append((suite, bench_file, int(r["fbs_size"]),
                           r["mapper"], str(lbf)))
+    ok_lbf: dict[str, bool] = {}
     with mp.Pool(jobs) as pool:
-        for i, _ in enumerate(pool.imap_unordered(_map_one, jobs_args)):
+        for i, (lbf, ok) in enumerate(
+                pool.imap_unordered(_map_one, jobs_args)):
+            ok_lbf[lbf] = ok
             if (i + 1) % 20 == 0:
                 print(f"{suite}: mapped {i + 1}/{len(jobs_args)}")
 
     from tfhe_fbs_map_tpu.frontend.lut_program import parse_lbf
-    from tfhe_fbs_map_tpu.optimizer.optimizer import optimize_staged
-    from tfhe_fbs_map_tpu.runtime.executor import staged_probe
-    smemo: dict[tuple, float] = {}
-    changed = cleared = 0
+    from sweep import staged_estimate  # noqa: E402 (shared implementation)
+    changed = cleared = kept = 0
     for r in todo:
         p = int(r["fbs_size"])
         lbf = out_dir / f"{r['bench']}_{r['fbs_size']}_{r['mapper']}.lbf"
         old = r["staged_total"]
-        r["staged_boot_cost"] = r["staged_total"] = ""
-        if not lbf.is_file():
-            cleared += 1
+        # transient remap failure (subprocess error/timeout, missing
+        # circuit file): keep the old estimate — only a real
+        # staged-infeasibility (ValueError below) may clear it
+        if not lbf.is_file() or not ok_lbf.get(str(lbf), True):
+            kept += 1
             continue
         try:
             prog = parse_lbf(lbf.read_text())
             nb = prog.stats()["nb_bootstrap"]
             if str(nb) != str(r.get("nb_bootstrap", nb)):
+                # nondeterministic remap: refresh the row's native columns
+                # from the remapped program so the row stays internally
+                # consistent (r4 advisor finding), instead of mixing the
+                # old mapping's boot counts with the new mapping's staged
+                # estimate
                 print(f"{suite}: {r['bench']} p={p} {r['mapper']} remap "
-                      f"boots {nb} != CSV {r['nb_bootstrap']} (keeping "
-                      f"remap)", file=sys.stderr)
-            eff1, eff2, routes = staged_probe(prog, p)
-            w1 = routes["f1"] + routes["split"]
-            w2 = routes["f2"] + routes["split"]
-            n_boots = max(1, sum(routes.values()))
-            wfs2 = routes["f1"] == 0
-            skey = (p, eff1, eff2, w1, w2, wfs2)
-            if skey not in smemo:
-                ssol = optimize_staged(p, eff1, eff2, weight1=w1,
-                                       weight2=w2, wires_from_stage2=wfs2)
-                if ssol is None:
-                    ssol = optimize_staged(p, eff1, eff2, weight1=w1,
-                                           weight2=w2, big_dim=2048,
-                                           wires_from_stage2=wfs2)
-                smemo[skey] = round(ssol.cost, 1) if ssol else float("nan")
-            if smemo[skey] == smemo[skey]:
-                r["staged_total"] = smemo[skey]
-                r["staged_boot_cost"] = round(smemo[skey] / n_boots, 1)
+                      f"boots {nb} != CSV {r['nb_bootstrap']} (row "
+                      f"refreshed from remap)", file=sys.stderr)
+                st = prog.stats()
+                r["nb_bootstrap"] = st["nb_bootstrap"]
+                r["norm2_linprod"] = st["norm2_linprod"]
+                r["max_lut_size"] = st["max_lut_size"]
+                try:
+                    bc = float(r.get("boot_cost", "nan") or "nan")
+                    if bc == bc:
+                        r["total_cost"] = round(nb * bc, 1)
+                except ValueError:
+                    pass
+            r["staged_boot_cost"] = r["staged_total"] = ""
+            st_cost = staged_estimate(prog, p)
+            if st_cost == st_cost:
+                r["staged_total"] = st_cost
+                r["staged_boot_cost"] = round(st_cost / max(1, nb), 1)
                 if str(r["staged_total"]) != old:
                     changed += 1
             else:
                 cleared += 1
         except (ValueError, AssertionError):
-            cleared += 1           # no longer staged-realizable
+            r["staged_boot_cost"] = r["staged_total"] = ""
+            cleared += 1           # genuinely not staged-realizable
     keys = sorted({k for r in rows for k in r})
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys)
         w.writeheader()
         w.writerows(rows)
     print(f"{suite}: {len(todo)} staged rows -> {changed} changed, "
-          f"{cleared} cleared (no longer cheaper path exists or map "
-          f"failed)")
+          f"{cleared} cleared (not staged-realizable), {kept} kept "
+          f"(transient remap failure)")
 
 
 def main() -> None:

@@ -150,56 +150,107 @@ def aggregate(out_dir: Path, csv_path: Path) -> list[dict]:
     return rows
 
 
+_SMEMO: dict[tuple, object] = {}
+
+
+def staged_solution(prog, p: int):
+    """Memoized staged parameter solution for ``prog`` (or None).
+
+    The single implementation of the probe → optimize_staged pipeline
+    (routing-mix weights, f1-wire-variance flag, kN=2048 fallback) shared
+    by :func:`add_estimates` and ``experiments/reestimate_staged.py`` —
+    previously duplicated verbatim (r4 advisor finding).  Raises
+    ValueError when ``prog`` is not staged-realizable.
+    """
+    from tfhe_fbs_map_tpu.optimizer.optimizer import optimize_staged
+    from tfhe_fbs_map_tpu.runtime.executor import staged_probe
+    eff1, eff2, routes = staged_probe(prog, p)
+    w1 = routes["f1"] + routes["split"]
+    w2 = routes["f2"] + routes["split"]
+    # f1-single wires carry fam1's fresh-bootstrap variance: conservative
+    # wire bound unless everything is split/f2 (runtime/cli.py passes the
+    # same flag)
+    wfs2 = routes["f1"] == 0
+    skey = (p, eff1, eff2, w1, w2, wfs2)
+    if skey not in _SMEMO:
+        ssol = optimize_staged(p, eff1, eff2, weight1=w1, weight2=w2,
+                               wires_from_stage2=wfs2)
+        if ssol is None:        # kN=2048 fallback (cleaner keys)
+            ssol = optimize_staged(p, eff1, eff2, weight1=w1, weight2=w2,
+                                   big_dim=2048, wires_from_stage2=wfs2)
+        _SMEMO[skey] = ssol
+    return _SMEMO[skey]
+
+
+def staged_estimate(prog, p: int) -> float:
+    """Whole-program staged per-boot-model cost estimate (µs), or NaN."""
+    ssol = staged_solution(prog, p)
+    return round(ssol.cost, 1) if ssol else float("nan")
+
+
+def staged_rt_estimate(prog, p: int) -> float:
+    """Launch-aware staged runtime estimate (µs/eval at RT_BATCH), NaN if
+    not staged-realizable."""
+    from tfhe_fbs_map_tpu.optimizer.runtime_model import predict_staged_us
+    from tfhe_fbs_map_tpu.runtime.executor import staged_level_routes
+    ssol = staged_solution(prog, p)
+    if ssol is None:
+        return float("nan")
+    return predict_staged_us(ssol, staged_level_routes(prog, p), RT_BATCH)
+
+
+# evaluation batch at which the launch-aware runtime columns are priced
+# (the README circuit-table convention)
+RT_BATCH = 16
+
+
 def add_estimates(rows: list[dict], csv_path: Path) -> None:
     from tfhe_fbs_map_tpu.frontend.lut_program import parse_lbf
     from tfhe_fbs_map_tpu.optimizer import optimize
-    from tfhe_fbs_map_tpu.optimizer.optimizer import optimize_staged
-    from tfhe_fbs_map_tpu.runtime.executor import staged_probe
-    memo: dict[tuple, float] = {}
-    smemo: dict[tuple, float] = {}
+    from tfhe_fbs_map_tpu.optimizer.runtime_model import predict_native_us
+    from tfhe_fbs_map_tpu.runtime.executor import native_level_boots
+    memo: dict[tuple, object] = {}
     for r in rows:
         key = (r["fbs_size"], r["norm2_linprod"])
         if key not in memo:
-            sol = optimize(int(key[0]), float(key[1]))
-            memo[key] = round(sol.cost, 1) if sol else float("nan")
-        r["boot_cost"] = memo[key]
+            memo[key] = optimize(int(key[0]), float(key[1]))
+        sol = memo[key]
+        r["boot_cost"] = round(sol.cost, 1) if sol else float("nan")
         nb = r.get("nb_bootstrap", 0)
-        r["total_cost"] = round(nb * memo[key], 1) if memo[key] == memo[key] \
-            else float("nan")
+        r["total_cost"] = round(nb * sol.cost, 1) if sol else float("nan")
         # staged-pipeline estimate (runtime/executor.py dual-family plan):
         # probe the mapped program for realizability, post-scaling norms,
         # and the node routing mix; the search objective is the
-        # whole-program cost under that mix
+        # whole-program cost under that mix.  The *_rt_est columns price
+        # the per-level launches and power-of-two level padding on top
+        # (optimizer/runtime_model.py, batch RT_BATCH) — the routing-
+        # decision numbers, where total_cost/staged_total keep the
+        # reference estimate contract (pure per-boot model).
         r["staged_boot_cost"] = r["staged_total"] = ""
+        r["native_rt_est"] = r["staged_rt_est"] = ""
         p = int(r["fbs_size"])
         lbf = Path(str(r.get("output_lbf", "")))
-        if p >= 10 and p % 2 == 0 and lbf.is_file():
+        if lbf.is_file():
             try:
                 prog = parse_lbf(lbf.read_text())
-                eff1, eff2, routes = staged_probe(prog, p)
-                w1 = routes["f1"] + routes["split"]
-                w2 = routes["f2"] + routes["split"]
-                n_boots = max(1, sum(routes.values()))
-                # f1-single wires carry fam1's fresh-bootstrap variance:
-                # conservative wire bound unless everything is split/f2
-                # (runtime/cli.py passes the same flag)
-                wfs2 = routes["f1"] == 0
-                skey = (p, eff1, eff2, w1, w2, wfs2)
-                if skey not in smemo:
-                    ssol = optimize_staged(p, eff1, eff2,
-                                           weight1=w1, weight2=w2,
-                                           wires_from_stage2=wfs2)
-                    if ssol is None:    # kN=2048 fallback (cleaner keys)
-                        ssol = optimize_staged(p, eff1, eff2, weight1=w1,
-                                               weight2=w2, big_dim=2048,
-                                               wires_from_stage2=wfs2)
-                    smemo[skey] = round(ssol.cost, 1) if ssol \
-                        else float("nan")
-                if smemo[skey] == smemo[skey]:
-                    r["staged_total"] = smemo[skey]
-                    r["staged_boot_cost"] = round(smemo[skey] / n_boots, 1)
-            except (ValueError, AssertionError):
-                pass            # not staged-realizable: native estimate only
+            except Exception:
+                prog = None
+            if prog is not None:
+                n_boots = max(1, prog.stats()["nb_bootstrap"])
+                if sol is not None:
+                    r["native_rt_est"] = round(predict_native_us(
+                        sol, native_level_boots(prog), RT_BATCH), 1)
+                if p >= 10 and p % 2 == 0:
+                    try:
+                        st = staged_estimate(prog, p)
+                        if st == st:
+                            r["staged_total"] = st
+                            r["staged_boot_cost"] = round(st / n_boots, 1)
+                            srt = staged_rt_estimate(prog, p)
+                            if srt == srt:
+                                r["staged_rt_est"] = round(srt, 1)
+                    except (ValueError, AssertionError):
+                        pass    # not staged-realizable: native only
     keys = sorted({k for r in rows for k in r})
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys)

@@ -75,9 +75,35 @@ def test_split_negacyclic_case():
 def test_split_rejections():
     assert split_node([1] * 31, 0, [0, 1] * 16, 32) is None   # no 16| coefs
     assert split_node([1, 2, 4], 0, [0, 1] * 4, 7) is None    # odd p
-    assert split_node([1, -2, 16], 0, [0, 1] * 16, 32) is None  # negative
+    # negative coef whose min-shift (s ≡ 0 mod 16 ⇒ s = 16) overflows x_lo
+    assert split_node([1, -2, 16], 0, [0, 1] * 16, 32) is None
     assert split_node([1, 2], 0, [0, 1, 1, 0], 32) is None    # single branch
     assert split_node([1, 2, 4, 8], 0, [0, 1, 0, 1], 32) is None  # h_max = 0
+    # negative const: the w=0 corner forces a negative branch index
+    assert split_node([1, 2, 16], -3, [0, 1] * 16, 32) is None
+
+
+def test_split_negative_coef_min_shift():
+    # x = 3a - 2b + 16c + 4 ∈ [2, 23]: shift s = 4 keeps x_lo in [2, 7]
+    s = split_node([3, -2, 16], 4, [0, 1] * 12, 32)
+    assert s is not None
+    assert s.a_idx == (0, 1) and s.b_idx == (2,)
+    assert s.const_lo == 4 and s.const_hi == 0 and s.h_max == 1
+    # negative coef absorbed by the mod-m residue, branches ≥ 2 via the
+    # negacyclic C: x = a - 3b + 16c + 19 reaches 36 > p
+    table = [0, 1] * 16 + [1, 0] * 16                 # tau = 64, C = 1
+    s = split_node([1, -3, 16], 19, table, 32)
+    assert s is not None
+    assert s.const_lo == 3 and s.const_hi == 1 and s.h_max == 2
+
+
+def test_split_wire_bounds():
+    # multi-valued wire (bound 2): 3*2 + 16 = 22 fits; binary assumption
+    # (bound 1) also splits, but with the tighter lo_max
+    s = split_node([3, 16], 0, [0, 1] * 12, 32, bounds=[2, 1])
+    assert s is not None and len(s.t1) == 7
+    # bound pushing x_lo over the digit is rejected
+    assert split_node([9, 16], 0, [0, 1] * 16, 32, bounds=[2, 1]) is None
 
 
 def test_split_const_folding():
@@ -117,6 +143,14 @@ def test_staged_const_hi(skeys32):
     table = rng.integers(0, 2, 32).tolist()
     table += [1 - t for t in table[:16]]               # tau=48, C=1
     run_exhaustive(skeys32, [1, 2, 4, 16], 17, table, rng)
+
+
+def test_staged_negative_coefs(skeys32):
+    # x = 3a - 2b + 16c + 4: the min-shift puts x_lo = 3a - 2b + 4 in
+    # [2, 7]; end-to-end two-stage result must equal table[x]
+    rng = np.random.default_rng(11)
+    table = rng.integers(0, 2, 24).tolist()
+    run_exhaustive(skeys32, [3, -2, 16], 4, table, rng)
 
 
 def test_optimize_staged_beats_native_p32():

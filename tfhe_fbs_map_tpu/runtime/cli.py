@@ -19,6 +19,14 @@ import time
 
 import numpy as np
 
+# Safety factor on the staged-vs-native routing decision.  r4 used a fixed
+# 0.8 margin calibrated from one Kreyvium measurement; the launch-aware
+# runtime predictor (optimizer/runtime_model.py) now prices the per-level
+# overheads the per-boot model misses, so near-ties are decided by the
+# model itself and the default margin is 1.0 (route staged iff predicted
+# faster).  Override with --staged-margin for re-calibration experiments.
+STAGED_MARGIN = 1.0
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
@@ -79,6 +87,11 @@ def main(argv=None) -> int:
                          "produced pre-scaled.  auto = use it when the "
                          "program compiles onto it AND the optimizer says "
                          "it is cheaper than one size-p bootstrap")
+    ap.add_argument("--staged-margin", type=float, default=STAGED_MARGIN,
+                    help="route staged only when the launch-aware runtime "
+                         "prediction beats native by this factor "
+                         "(default %(default)s; the prediction already "
+                         "prices per-level launches and batch padding)")
     args = ap.parse_args(argv)
 
     from ..frontend.lut_program import parse_lbf
@@ -121,12 +134,13 @@ def main(argv=None) -> int:
     # compile the program onto the dual-family plan WITHOUT keys to learn
     # whether it is realizable and what its post-scaling norms are
     staged_sol = None
+    staged_routes = None
     staged_nb = 1
     p_run = max(p_needed, args.fbs_size or p_needed)
     if args.staged != "off" and not args.keys and not args.test_params \
             and p_run >= 10 and p_run % 2 == 0:
         from ..optimizer.optimizer import optimize_staged
-        from .executor import staged_probe
+        from .executor import staged_level_routes, staged_probe
         try:
             eff1, eff2, routes = staged_probe(prog, p_run)
             # the search objective is the WHOLE-PROGRAM cost under the
@@ -153,6 +167,8 @@ def main(argv=None) -> int:
                 staged_sol = optimize_staged(p_run, eff1, eff2,
                                              weight1=w1, weight2=w2,
                                              big_dim=2048, **kw)
+            if staged_sol is not None:
+                staged_routes = staged_level_routes(prog, p_run)
         except ValueError as e:
             if args.staged == "on":
                 print(f"--staged on: {e}", file=sys.stderr)
@@ -177,16 +193,28 @@ def main(argv=None) -> int:
                 print("no parameter set satisfies the error target",
                       file=sys.stderr)
                 return 1
-            # staged_sol.cost is the whole-program weighted cost; compare
-            # against the native per-boot cost times the boot count.  The
-            # model omits the dual-family per-level overheads (two kernel
-            # launches per level, padded tiny f2 batches): at model-cost
-            # parity the Kreyvium-1152 staged run measured 4.7x slower
-            # than native (861 vs 4016 boots/s, r4), so near-ties go
-            # native — staged must win by a clear margin.
-            use_staged = staged_sol is not None and (
-                args.staged == "on" or sol is None
-                or staged_sol.cost < 0.8 * sol.cost * staged_nb)
+            # Launch-aware routing: price BOTH plans at the actual
+            # evaluation batch — per-level kernel launches, power-of-two
+            # level padding, and the dual-family two-calls-per-level all
+            # included (optimizer/runtime_model.py; replaces the r4 fixed
+            # 0.8 margin on the per-boot model, which mis-priced the
+            # staged Kreyvium run by 4.7x — PERF.md lesson 21).
+            use_staged = False
+            if staged_sol is not None:
+                from ..optimizer.runtime_model import (predict_native_us,
+                                                       predict_staged_us)
+                from .executor import native_level_boots
+                staged_rt = predict_staged_us(staged_sol, staged_routes,
+                                              args.batch)
+                native_rt = (predict_native_us(sol,
+                                               native_level_boots(prog),
+                                               args.batch)
+                             if sol is not None else float("inf"))
+                print(f"# runtime model (batch {args.batch}): native "
+                      f"{native_rt / 1e3:.1f}ms/eval, staged "
+                      f"{staged_rt / 1e3:.1f}ms/eval", file=sys.stderr)
+                use_staged = (args.staged == "on" or sol is None
+                              or staged_rt < args.staged_margin * native_rt)
         if use_staged:
             from ..tfhe.staged import generate_staged_keys
             print(f"# staged params: fam1={staged_sol.params1} "

@@ -111,6 +111,8 @@ class CircuitExecutor:
             self.params = keys.params
             self._compile(prog)
         self._sharded_step = None
+        self._local_step = None
+        self._plan_device = None
         if mesh is not None:
             assert "dp" in mesh.axis_names, "executor mesh needs a dp axis"
             self._sharded_step = (self._build_staged_sharded_step()
@@ -270,8 +272,10 @@ class CircuitExecutor:
                 src = node.src
                 if src.kind == N_LIN:
                     rows, coefs, const = lin_parts(src)
+                    w_bounds = [v.max_val for _, v in src.terms]
                 else:
                     rows, coefs, const = [wire_row[src.name]], [1], 0
+                    w_bounds = [src.max_val]
                 lv = node_level[src.name] + 1
                 row = len(wire_row)
                 wire_row[node.name] = row
@@ -293,7 +297,8 @@ class CircuitExecutor:
                     for r, c in zip(rows, coefs):
                         needs.setdefault(r, set()).add(m1 * c)
                 else:
-                    split = split_node(coefs, const, table, p) \
+                    split = split_node(coefs, const, table, p,
+                                       bounds=w_bounds) \
                         if splits_ok else None
                     kind = "split"
                     if split is None:
@@ -384,6 +389,15 @@ class CircuitExecutor:
         self.route_counts = {kind: sum(
             1 for lvl in entries.values() for e in lvl if e["kind"] == kind)
             for kind in ("f1", "f2", "split")}
+        # per-level routing profile (ns, nf1, nf2) for the launch-aware
+        # runtime predictor (optimizer/runtime_model.py): each level issues
+        # one fam1 call batched bucket(ns+nf1) and one fam2 call batched
+        # bucket(ns+nf2)
+        self.level_routes = [
+            (sum(1 for e in entries[lv] if e["kind"] == "split"),
+             sum(1 for e in entries[lv] if e["kind"] == "f1"),
+             sum(1 for e in entries[lv] if e["kind"] == "f2"))
+            for lv in sorted(entries)]
 
         def bucket(nb: int) -> int:
             b = 1
@@ -567,6 +581,104 @@ class CircuitExecutor:
 
         return step
 
+    # ----------------------------------------------------- local (1-device)
+    def _build_local_step(self):
+        """One JITTED single-device level step.
+
+        The r4 executor dispatched every level's ops eagerly; over the
+        tunneled backend each op dispatch costs real latency, which
+        dominated small-batch circuit runs (PERF.md lesson 23: the staged
+        Kreyvium run spent ~5 s/level on dispatch glue at IDENTICAL
+        parameter families to the 0.25 ms/boot native run).  Jitting
+        collapses a level into one dispatched computation; key material is
+        passed as traced arguments (not closure constants) so XLA does not
+        bake multi-GB keys into the executable."""
+        import functools
+
+        import jax
+
+        keys, fast = self.keys, self.fast_keys
+        if self.staged:
+            sk = keys
+            if fast is not None:
+                f1, f2 = fast
+                from ..ops.blind_rotate import FastKeys
+                key_args = (f1.bsk_kernels, f1.ksk_limbs,
+                            f2.bsk_kernels, f2.ksk_limbs)
+                o1, o2 = f1.orientation, f2.orientation
+
+                def local(ns, b1, kl1, b2, kl2, buf, *plan):
+                    fk1 = FastKeys(sk.keys1.params, b1, kl1, o1)
+                    fk2 = FastKeys(sk.keys2.params, b2, kl2, o2)
+                    return _staged_level_step(sk.keys1, sk.keys2, fk1, fk2,
+                                              ns, buf, *plan)
+            else:
+                key_args = (sk.keys1.bsk, sk.keys1.ksk,
+                            sk.keys2.bsk, sk.keys2.ksk)
+
+                def local(ns, b1, kl1, b2, kl2, buf, *plan):
+                    kk1 = TFHEKeys(params=sk.keys1.params, lwe_key=None,
+                                   glwe_key=None, bsk=b1, ksk=kl1)
+                    kk2 = TFHEKeys(params=sk.keys2.params, lwe_key=None,
+                                   glwe_key=None, bsk=b2, ksk=kl2)
+                    return _staged_level_step(kk1, kk2, None, None, ns,
+                                              buf, *plan)
+
+            cache = {}
+
+            def step(n_splits, buf, *plan):
+                if n_splits not in cache:
+                    cache[n_splits] = jax.jit(
+                        functools.partial(local, n_splits))
+                return cache[n_splits](*key_args, buf, *plan)
+
+            return step
+
+        if fast is not None:
+            from ..ops.blind_rotate import FastKeys
+            key_args = (fast.bsk_kernels, fast.ksk_limbs)
+            orientation = fast.orientation
+
+            def local(bsk, ksk, buf, *plan):
+                fk = FastKeys(keys.params, bsk, ksk, orientation)
+                return _level_step(keys, fk, buf, *plan)
+        else:
+            key_args = (keys.bsk, keys.ksk)
+
+            def local(bsk, ksk, buf, *plan):
+                k = TFHEKeys(params=keys.params, lwe_key=None,
+                             glwe_key=None, bsk=bsk, ksk=ksk)
+                return _level_step(k, None, buf, *plan)
+
+        jitted = jax.jit(local)
+
+        def step(buf, *plan):
+            return jitted(*key_args, buf, *plan)
+
+        return step
+
+    def _plan_arrays(self):
+        """Per-level plan tensors as device arrays, uploaded ONCE.
+
+        The r4 run loop re-uploaded every plan array per level per repeat
+        (``jnp.asarray`` in the loop) — over the ~20 MB/s tunneled backend
+        the test-vector tensors alone cost tens of ms per level."""
+        if self._plan_device is None:
+            out = []
+            for plan in self.levels:
+                if self.staged:
+                    out.append(tuple(jnp.asarray(x) for x in (
+                        plan.wire_idx1, plan.coefs1, plan.consts1, plan.tvs1,
+                        plan.posts1, plan.out_rows1, plan.wire_idx2,
+                        plan.coefs2, plan.consts2, plan.tvs2, plan.posts2,
+                        plan.out_rows)))
+                else:
+                    out.append(tuple(jnp.asarray(x) for x in (
+                        plan.wire_idx, plan.coefs, plan.consts,
+                        plan.test_polys, plan.posts, plan.out_rows)))
+            self._plan_device = out
+        return self._plan_device
+
     # ---------------------------------------------------------------- run
     def encrypt_inputs(self, values: dict[str, np.ndarray],
                        rng: np.random.Generator) -> jnp.ndarray:
@@ -644,33 +756,18 @@ class CircuitExecutor:
             except FileNotFoundError:
                 pass
         step = self._sharded_step
+        if step is None:
+            if self._local_step is None:
+                self._local_step = self._build_local_step()
+            step = self._local_step
+        plans = self._plan_arrays()
         for lv, plan in enumerate(self.levels):
             if lv < start:
                 continue
             if self.staged:
-                plan_args = tuple(jnp.asarray(x) for x in (
-                    plan.wire_idx1, plan.coefs1, plan.consts1, plan.tvs1,
-                    plan.posts1, plan.out_rows1, plan.wire_idx2, plan.coefs2,
-                    plan.consts2, plan.tvs2, plan.posts2, plan.out_rows))
-                if step is not None:
-                    buf = step(plan.n_splits, buf, *plan_args)
-                else:
-                    f1, f2 = self.fast_keys or (None, None)
-                    buf = _staged_level_step(
-                        self.keys.keys1, self.keys.keys2, f1, f2,
-                        plan.n_splits, buf, *plan_args)
+                buf = step(plan.n_splits, buf, *plans[lv])
             else:
-                plan_args = (jnp.asarray(plan.wire_idx),
-                             jnp.asarray(plan.coefs),
-                             jnp.asarray(plan.consts),
-                             jnp.asarray(plan.test_polys),
-                             jnp.asarray(plan.posts),
-                             jnp.asarray(plan.out_rows))
-                if step is not None:
-                    buf = step(buf, *plan_args)
-                else:
-                    buf = _level_step(self.keys, self.fast_keys, buf,
-                                      *plan_args)
+                buf = step(buf, *plans[lv])
             if checkpoint is not None and lv + 1 < len(self.levels):
                 if checkpoint_every is not None:
                     due = (lv + 1) % checkpoint_every == 0
@@ -766,6 +863,49 @@ def staged_probe(prog: LutProgram, p: int
     probe = CircuitExecutor(prog, StagedKeys(p=p, keys1=shell(p1, 1, 2048),
                                              keys2=shell(p2, 2, 1024)))
     return probe.eff_norm1, probe.eff_norm2, probe.route_counts
+
+
+def staged_level_routes(prog: LutProgram, p: int) -> list[tuple[int, int,
+                                                                int]]:
+    """Per-level (n_split, n_f1, n_f2) routing profile of the staged plan
+    (same keyless probe as :func:`staged_probe`; raises ValueError when not
+    staged-realizable).  Feeds the launch-aware runtime predictor
+    (optimizer/runtime_model.py): each level issues one fam1 call batched
+    ``bucket(ns + nf1)`` and one fam2 call batched ``bucket(ns + nf2)``."""
+    from ..tfhe.params import TFHEParams as TP
+    from ..tfhe.staged import SELECT_P, StagedKeys
+
+    p1 = p // 2 if p >= 32 else p
+    p2 = SELECT_P if p % SELECT_P == 0 else p // 2
+
+    def shell(pp, k, N):
+        return TFHEKeys(params=TP(p=pp, lwe_dim=16, glwe_dim=k, poly_size=N,
+                                  bsk_level=1, bsk_base_log=8, ksk_level=1,
+                                  ksk_base_log=8, lwe_noise_std=0.0,
+                                  glwe_noise_std=0.0),
+                        lwe_key=None, glwe_key=None, bsk=None, ksk=None)
+
+    probe = CircuitExecutor(prog, StagedKeys(p=p, keys1=shell(p1, 1, 2048),
+                                             keys2=shell(p2, 2, 1024)))
+    return probe.level_routes
+
+
+def native_level_boots(prog: LutProgram) -> list[int]:
+    """Per-level bootstrap counts of the native single-family plan (the
+    level assignment of :meth:`CircuitExecutor._compile`, keyless)."""
+    level: dict[str, int] = {}
+    counts: dict[int, int] = {}
+    for node in prog.nodes:
+        if node.kind == N_INPUT:
+            level[node.name] = 0
+        elif node.kind == N_LIN:
+            level[node.name] = max((level[v.name] for _, v in node.terms),
+                                   default=0)
+        elif node.kind == N_BOOT:
+            lv = level[node.src.name] + 1
+            level[node.name] = lv
+            counts[lv] = counts.get(lv, 0) + 1
+    return [counts[lv] for lv in sorted(counts)]
 
 
 def _lincomb_flat(buf, wire_idx, coefs, consts):

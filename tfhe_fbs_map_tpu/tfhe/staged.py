@@ -79,11 +79,29 @@ class StagedSplit:
     t2: tuple[int, ...]        # stage-2 select table (negacyclic at p=8)
 
 
-def split_node(coefs, const: int, table, p: int) -> StagedSplit | None:
+def split_node(coefs, const: int, table, p: int,
+               bounds=None) -> StagedSplit | None:
     """Try to split a size-p bootstrap node; None -> run it natively.
 
-    Requirements: p even and >= 8, binary table, non-negative coefficients,
-    and the non-multiples-of-m part of the lincomb must stay below m.
+    Requirements: p even and >= 8, binary table, and the
+    non-multiples-of-m part of the lincomb must fit one digit [0, m).
+
+    ``bounds``: per-term wire value upper bounds (default binary wires).
+    Negative coefficients and constants are handled by the min-shift: the
+    digit constant ``s ≡ const (mod m)`` is chosen so ``x_lo`` stays in
+    [0, m) over the wire box, with the remaining ``(const - s)/m``
+    absorbed by the branch index (r5; the r4 implementation rejected any
+    negative coefficient, VERDICT r4 item 6).
+
+    Why tables stay binary here: packing a V-valued pair needs
+    ``G = f(x_lo) + V·f(x_lo+m) < V²`` and the select input
+    ``z = G + V²·x_hi`` rides the wire grid only when the select family's
+    grid satisfies ``p2 = 2·V²`` (the q/(2p) wire encoding contributes
+    branch steps of q/4).  The family system has p2 = 8 ⇒ V = 2; the next
+    square, V = 4 ⇒ p2 = 32, needs an N ≥ 2048 select family — the very
+    cost the staged pipeline exists to avoid.  Multi-valued tables route
+    to the single-family paths instead (``runtime/executor.py``
+    ``can_single``).
     """
     coefs = [int(c) for c in coefs]
     table = [int(t) for t in table]
@@ -95,16 +113,29 @@ def split_node(coefs, const: int, table, p: int) -> StagedSplit | None:
     if tau > 2 * p or not table:
         return None
     if any(t not in (0, 1) for t in table):
-        return None                       # binary tables only
-    if const < 0 or any(c < 0 for c in coefs):
-        return None
+        return None                       # binary tables only (see above)
+    if bounds is None:
+        bounds = [1] * len(coefs)
+    bounds = [int(b) for b in bounds]
     a_idx = tuple(i for i, c in enumerate(coefs) if c % m)
     b_idx = tuple(i for i, c in enumerate(coefs) if not c % m)
-    const_lo, const_hi = const % m, const // m
-    lo_max = sum(coefs[i] for i in a_idx) + const_lo
-    if lo_max >= m:
+    # x_lo term range over the wire box [0, bound] per wire
+    lo_min = sum(min(0, coefs[i] * bounds[i]) for i in a_idx)
+    lo_span = sum(max(0, coefs[i] * bounds[i]) for i in a_idx) - lo_min
+    # min-shift: s ≡ const (mod m), smallest s with lo_min + s >= 0
+    s = const % m
+    if lo_min + s < 0:
+        s += m * ((-(lo_min + s) + m - 1) // m)
+    if lo_span + lo_min + s >= m:
         return None                       # x_lo would overflow the digit
-    h_max = sum(coefs[i] // m for i in b_idx) + const_hi
+    const_lo, const_hi = s, (const - s) // m
+    lo_max = lo_span + lo_min + s
+    h_min = sum(min(0, (coefs[i] // m) * bounds[i]) for i in b_idx) \
+        + const_hi
+    if h_min < 0:
+        return None                       # branch index would go negative
+    h_max = sum(max(0, (coefs[i] // m) * bounds[i]) for i in b_idx) \
+        + const_hi
     if h_max < 1:
         return None                       # single branch: native (smaller p)
     if h_max > 3:
