@@ -57,3 +57,29 @@ def test_vendored_files_match_golden():
         gen, golden, _ = REGEN89[name]
         text = open(os.path.join(BASE, "iscas89", f"{name}.bench")).read()
         verify_circuit(name, text, golden, sequential=True, n_vec=32)
+
+
+def test_full_iscas89_envelope():
+    """Every circuit the reference sweeps (gen_makefile_iscas89.bash:14-43)
+    has a regenerated counterpart (r5: full 30-circuit envelope)."""
+    from tfhe_fbs_map_tpu.frontend.circuits.bench_regen import REGEN89
+    ref = ["s1196", "s1238", "s13207", "s1423", "s1488", "s1494", "s15850",
+           "s208", "s27", "s298", "s344", "s349", "s35932", "s382",
+           "s38417", "s38584", "s386", "s400", "s420", "s444", "s510",
+           "s526", "s5378", "s641", "s713", "s820", "s832", "s838",
+           "s9234", "s953"]
+    have = set(REGEN89) | {"s27"}   # s27 ships via circuits/generators
+    missing = [c for c in ref if f"{c}r" not in have and c not in have]
+    assert not missing, missing
+
+
+def test_pla_fsm_golden_multiframe():
+    """The PLA-FSM regen vehicle matches its golden model over unrolled
+    frames (state feedback across clocks)."""
+    import numpy as np
+    from tfhe_fbs_map_tpu.frontend.circuits.bench_regen import (
+        gen_pla_fsm, verify_circuit)
+    gen, golden = gen_pla_fsm(9, 5, 4, 20, 3, 3, seed=99)
+    b = gen()
+    verify_circuit("pla_fsm", b.serialize("test"), golden, sequential=True,
+                   n_vec=64, frames=4)

@@ -748,6 +748,75 @@ def gen_counter(nbits: int, n_dec: int):
     return gen, golden
 
 
+def gen_pla_fsm(n_state: int, n_in: int, n_out: int, n_terms: int,
+                lits: int, o_terms: int, seed: int):
+    """Moore FSM with a precisely specified seeded PLA core (the regen
+    vehicle for the control-dominated ISCAS89 members — s382/s400/s444
+    traffic-controller class, s386/s510/s820/s832/s953/s1488/s1494 PLD
+    controllers — whose exact state tables are unpublished; state-bit
+    counts and per-clock gate mass match the originals).
+
+    Structure (the spec): product terms of ``lits`` literals over
+    [state bits, primary inputs]; next_state[j] = state[j] XOR
+    OR(term subset j); output[k] = OR(term subset k).
+    """
+    rng = np.random.default_rng(seed)
+    n_sig = n_state + n_in
+    terms = [(rng.choice(n_sig, size=lits, replace=False).tolist(),
+              rng.integers(0, 2, lits).tolist()) for _ in range(n_terms)]
+    nxt_sel = [rng.choice(n_terms, size=o_terms, replace=False).tolist()
+               for _ in range(n_state)]
+    out_sel = [rng.choice(n_terms, size=o_terms, replace=False).tolist()
+               for _ in range(n_out)]
+
+    def gen():
+        b = BenchBuilder()
+        din = b.inps("D", n_in)
+        q = [f"q{i}" for i in range(n_state)]
+        sig = q + din
+
+        def lit(i, pol):
+            return sig[i] if pol else b.not_(sig[i])
+
+        tbits = [b.tree(b.and_, [lit(i, p) for i, p in zip(idx, pols)])
+                 for idx, pols in terms]
+        for j in range(n_state):
+            b.gates.append((q[j], "DFF",
+                            [b.xor(q[j], b.tree(b.or_,
+                                                [tbits[t]
+                                                 for t in nxt_sel[j]]))]))
+        for k in range(n_out):
+            o = b.tree(b.or_, [tbits[t] for t in out_sel[k]])
+            b.gates.append((f"O{k}", "BUFF", [o]))
+            b.out(f"O{k}")
+        return b
+
+    def golden(frames, v):
+        nb = next(iter(v.values())).shape[0]
+        state = np.zeros((n_state, nb), dtype=np.int64)
+        outs = {}
+        for t in range(frames):
+            sfx = f"_f{t}" if frames > 1 else ""
+            sig = list(state) + [v[f"D{j}{sfx}"] for j in range(n_in)]
+            tv = []
+            for idx, pols in terms:
+                acc = np.ones(nb, dtype=np.int64)
+                for i, p in zip(idx, pols):
+                    acc &= sig[i] if p else 1 - sig[i]
+                tv.append(acc)
+            for k in range(n_out):
+                outs[f"O{k}{sfx}"] = np.clip(
+                    sum(tv[t2] for t2 in out_sel[k]), 0, 1)
+            new = np.zeros_like(state)
+            for j in range(n_state):
+                new[j] = state[j] ^ np.clip(
+                    sum(tv[t2] for t2 in nxt_sel[j]), 0, 1)
+            state = new
+        return outs
+
+    return gen, golden
+
+
 # ---------------------------------------------------------------------------
 # Registry + verification + emission
 # ---------------------------------------------------------------------------
@@ -764,6 +833,31 @@ _crc128 = gen_crc(128, 0x87, 16, 10, steps=32)
 _cnt14 = gen_counter(14, 3)                # s298-class (14 DFFs)
 _cnt16 = gen_counter(16, 4)                # s420-class
 _cnt32 = gen_counter(32, 6)                # s838-class
+# r5 additions toward the reference's full 30-circuit envelope
+# (gen_makefile_iscas89.bash:14-43): exact rate-counter/CRC siblings ...
+_cnt8 = gen_counter(8, 2)                  # s208-class (8 DFFs, 96 gates)
+# ... PLA-FSM controllers (state-bit counts + per-clock gate mass match
+# the originals: s382/400/444 traffic-light trio 21 DFFs ~160 gates,
+# s386 6/159, s510 6/211, s820/s832 5/~290, s953 29/395, s1488/s1494
+# 6/~650) ...
+_s382 = gen_pla_fsm(21, 3, 6, 24, 3, 3, seed=382)
+_s400 = gen_pla_fsm(21, 3, 6, 24, 3, 3, seed=400)
+_s444 = gen_pla_fsm(21, 3, 6, 27, 3, 3, seed=444)
+_s386 = gen_pla_fsm(6, 7, 7, 26, 3, 3, seed=386)
+_s510 = gen_pla_fsm(6, 19, 7, 30, 3, 3, seed=510)
+_s820 = gen_pla_fsm(5, 18, 19, 40, 4, 4, seed=820)
+_s832 = gen_pla_fsm(5, 18, 19, 40, 4, 4, seed=832)
+_s953 = gen_pla_fsm(29, 16, 23, 45, 4, 3, seed=953)
+_s1488 = gen_pla_fsm(6, 8, 19, 100, 4, 5, seed=1488)
+_s1494 = gen_pla_fsm(6, 8, 19, 100, 4, 5, seed=1494)
+# ... and the large sequential members as CRC banks (DFF counts match:
+# s13207 638, s15850 534, s35932 1728, s38417 1636, s38584 1426; steps
+# sized for the originals' per-clock combinational mass 8-22k gates)
+_crc638 = gen_crc(638, 0x04C11DB7, 16, 10, steps=12)
+_crc534 = gen_crc(534, 0x8005, 14, 10, steps=18)
+_crc1728 = gen_crc(1728, 0x10CAB5, 32, 32, steps=9)
+_crc1636 = gen_crc(1636, 0x04C11DB7, 28, 16, steps=13)
+_crc1426 = gen_crc(1426, 0x87, 24, 12, steps=13)
 
 REGEN85 = {
     "c432r": (gen_c432r, golden_c432r,
@@ -787,17 +881,51 @@ REGEN85 = {
 }
 
 REGEN89 = {
+    "s208r": (_cnt8[0], _cnt8[1], "8-DFF rate counter (s208 class)"),
     "s298r": (_cnt14[0], _cnt14[1], "14-DFF counter/decoder (s298 class)"),
     "s344r": (gen_s344r, golden_s344r,
               "4x4 add-shift multiplier datapath (s344 class)"),
+    "s349r": (gen_s344r, golden_s344r,
+              "4x4 add-shift multiplier (s349 = s344 + redundancy; "
+              "identical function)"),
+    "s382r": (_s382[0], _s382[1],
+              "21-DFF traffic-light controller class (s382)"),
+    "s386r": (_s386[0], _s386[1], "6-DFF PLD controller class (s386)"),
+    "s400r": (_s400[0], _s400[1],
+              "21-DFF traffic-light controller class (s400; same trio "
+              "function family as s382/s444)"),
     "s420r": (_cnt16[0], _cnt16[1], "16-DFF rate counter (s420 class)"),
+    "s444r": (_s444[0], _s444[1],
+              "21-DFF traffic-light controller class (s444)"),
+    "s510r": (_s510[0], _s510[1], "6-DFF controller class (s510)"),
     "s526r": (_crc21[0], _crc21[1], "21-DFF LFSR/CRC (s526 class)"),
     "s641r": (_crc16[0], _crc16[1], "16-DFF CRC-16 (s641 class)"),
+    "s713r": (_crc16[0], _crc16[1],
+              "16-DFF CRC-16 (s713 = s641 + redundancy; identical "
+              "function)"),
+    "s820r": (_s820[0], _s820[1], "5-DFF PLD controller class (s820)"),
+    "s832r": (_s832[0], _s832[1],
+              "5-DFF PLD controller class (s832 = s820 sibling)"),
     "s838r": (_cnt32[0], _cnt32[1], "32-DFF counter (s838 class)"),
+    "s953r": (_s953[0], _s953[1], "29-DFF controller class (s953)"),
     "s1196r": (_crc32a[0], _crc32a[1], "CRC-32 datapath (s1196 class)"),
+    "s1238r": (_crc32a[0], _crc32a[1],
+               "CRC-32 datapath (s1238 = s1196 + redundancy; identical "
+               "function)"),
     "s1423r": (_crc64[0], _crc64[1], "64-DFF CRC (s1423 class)"),
+    "s1488r": (_s1488[0], _s1488[1], "6-DFF controller class (s1488)"),
+    "s1494r": (_s1494[0], _s1494[1],
+               "6-DFF controller class (s1494 = s1488 sibling)"),
     "s5378r": (_crc96[0], _crc96[1], "96-DFF CRC bank (s5378 class)"),
     "s9234r": (_crc128[0], _crc128[1], "128-DFF CRC bank (s9234 class)"),
+    "s13207r": (_crc638[0], _crc638[1], "638-DFF CRC bank (s13207 class)"),
+    "s15850r": (_crc534[0], _crc534[1], "534-DFF CRC bank (s15850 class)"),
+    "s35932r": (_crc1728[0], _crc1728[1],
+                "1728-DFF CRC bank (s35932 class)"),
+    "s38417r": (_crc1636[0], _crc1636[1],
+                "1636-DFF CRC bank (s38417 class)"),
+    "s38584r": (_crc1426[0], _crc1426[1],
+                "1426-DFF CRC bank (s38584 class)"),
 }
 
 

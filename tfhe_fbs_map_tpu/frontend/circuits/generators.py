@@ -409,6 +409,11 @@ EPFL_GENERATORS = {
     "square": epfl_square,
 }
 
+# random_control class + div/sqrt (epfl_control.py regenerations)
+from .epfl_control import EPFL_CONTROL_GENERATORS  # noqa: E402
+
+EPFL_GENERATORS.update(EPFL_CONTROL_GENERATORS)
+
 
 def _make_named(fn, *args, name):
     def gen():
