@@ -31,13 +31,15 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# (name, p, k, N, bsk_level, bsk_base_log, ksk_level, ksk_base_log, n)
+# (name, p, k, N, bsk_level, bsk_base_log, ksk_level, ksk_base_log, n) —
+# the bench.py pinned preset shapes plus the Kreyvium-p10 family
+# ((2,512,l=4): the optimize(10, 30) pick both pipelines use)
 FAMILIES = {
-    "anchor": (4, 2, 512, 2, 8, 4, 4, 546),
-    "p8": (8, 2, 512, 3, 6, 4, 4, 538),
+    "anchor": (4, 2, 512, 2, 8, 4, 3, 546),
+    "p8": (8, 2, 512, 2, 8, 6, 2, 642),
     "krey10": (10, 2, 512, 4, 5, 7, 2, 642),
-    "p16": (16, 1, 1024, 3, 7, 5, 4, 642),
-    "p32": (32, 1, 2048, 3, 8, 6, 4, 674),
+    "p16": (16, 1, 1024, 3, 6, 6, 2, 642),
+    "p32": (32, 1, 2048, 3, 7, 7, 2, 706),
 }
 
 

@@ -37,11 +37,13 @@ VARIANTS = {
     "rot_decoupled": ("rot_src",),
 }
 
+# bench.py pinned preset shapes (r4 re-pin: p16 moved to k=1/N=1024,
+# p8 to l=2/b=8 — keep these in lockstep with bench.py `presets`)
 PRESETS = {
-    "p8": (8, 610, 2, 512, 3, 6),
-    "p16": (16, 642, 2, 1024, 3, 7),
-    "p32": (32, 706, 1, 2048, 3, 8),
-    "anchor": (4, 630, 2, 512, 2, 8),
+    "p8": (8, 642, 2, 512, 2, 8),
+    "p16": (16, 642, 1, 1024, 3, 6),
+    "p32": (32, 706, 1, 2048, 3, 7),
+    "anchor": (4, 546, 2, 512, 2, 8),
 }
 
 

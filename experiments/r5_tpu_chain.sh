@@ -1,0 +1,104 @@
+#!/bin/bash
+# Round-5 TPU measurement chain (ONE process at a time on the tunneled
+# backend; resumable: steps with a non-empty result JSON are skipped).
+# Order: runtime-model calibration first (it feeds the routing decisions
+# and the validation report), then the staged-vs-native pairs, then the
+# uniform batch-64 circuit provenance re-runs under the jitted executor,
+# then the preset phase profiles.  All runs force compact keys
+# (fused_otf) — streamed >=10 GB key builds are the wedge-prone step
+# (CLAUDE.md r4 protocol).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p outputs/tpu_runs
+
+run_step() {  # name timeout_s cmd...
+  local name=$1 tmo=$2; shift 2
+  if [ -s "outputs/tpu_runs/${name}.json" ]; then
+    echo "=== ${name}: done (skip)"; return
+  fi
+  echo "=== ${name} ($(date +%H:%M:%S))"
+  sleep 45     # let the tunneled backend settle between processes
+  timeout "$tmo" "$@" 2>"outputs/tpu_runs/${name}.err" | tail -1 \
+    | tee "outputs/tpu_runs/${name}.json"
+  if [ ! -s "outputs/tpu_runs/${name}.json" ]; then
+    echo "!!! ${name} produced no result (timeout/wedge?) — cooling 25 min"
+    sleep 1500
+  fi
+}
+
+RUN="python -m tfhe_fbs_map_tpu.runtime"
+
+# 1. Runtime-model calibration: per-family level-step timing fit
+if [ ! -s tfhe_fbs_map_tpu/optimizer/calibration.json ]; then
+  echo "=== calibrate ($(date +%H:%M:%S))"
+  timeout 3600 python experiments/calibrate_runtime.py \
+    --nbs 1,4,16,32 --batch 8 2>outputs/tpu_runs/calibrate.err \
+    | tail -1 | tee outputs/tpu_runs/calibrate.json
+fi
+
+# 2. Staged-vs-native pairs under the jitted executor (VERDICT r4 #5):
+#    Kreyvium-1152 p=10 (the r4 4.7x case) and s9234r p=22 (model: staged
+#    2.5x cheaper).  --staged on/off pins the route; bit-exactness in-run.
+run_step kreyvium_native_10 2400 $RUN \
+  outputs/generated/kreyvium_stream_v1_10_search.lbf \
+  --batch 16 --repeat 2 --orientation fused_otf --staged off
+run_step kreyvium_staged2_10 2400 $RUN \
+  outputs/generated/kreyvium_stream_v1_10_search.lbf \
+  --batch 16 --repeat 2 --orientation fused_otf --staged on
+run_step s9234r_22_native 2400 $RUN outputs/iscas89/s9234r_22_search.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf --staged off
+run_step s9234r_22_staged 2400 $RUN outputs/iscas89/s9234r_22_search.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf --staged on
+
+# 3. Flagships under the jitted executor: Kreyvium p=3 best (r4: 1.50
+#    s/eval) and AES-128 p=4 (r4: 3.35 s/eval, target < 3).
+run_step kreyvium_stream_v1_3 2400 $RUN \
+  outputs/generated/kreyvium_stream_v1_3_best.lbf \
+  --batch 16 --repeat 2 --orientation fused_otf
+run_step aes_128_4 3000 $RUN outputs/bristol/aes_128_4_search.lbf \
+  --batch 16 --repeat 2 --orientation fused_otf
+
+# 4. Uniform batch-64 measured provenance for the full ISCAS85 suite +
+#    the ISCAS89 set (VERDICT r4 weak #2/missing #4) — every run writes a
+#    committed tpu_runs JSON; min-cost sweep configs.
+for cfg in c17_3_search c432r_4_search c880r_4_search c1908r_3_search \
+           c1355r_2_search c7552r_4_search c499r_3_search \
+           c2670r_4_searchdc c3540r_10_searchdc; do
+  name="${cfg%_*}"   # strip mapper suffix -> bench_p
+  run_step "$name" 2400 $RUN "outputs/iscas85/${cfg}.lbf" \
+    --batch 64 --repeat 2 --orientation fused_otf
+done
+run_step c6288r_4 3600 $RUN outputs/iscas85/c6288r_4_search.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf
+for cfg in s27_4_search s1423r_3_search s838r_10_search s9234r_3_search; do
+  name="${cfg%_*}"
+  run_step "$name" 2400 $RUN "outputs/iscas89/${cfg}.lbf" \
+    --batch 64 --repeat 2 --orientation fused_otf
+done
+
+# 5. s5378r — the one suite circuit never measured (r4 wedge victim).
+run_step s5378r_3 3000 $RUN outputs/iscas89/s5378r_3_search.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf
+
+# 6. The two large ISCAS89 regens (VERDICT r4 #3: AutoHoG's biggest wins)
+#    at batch 16 (deep programs; keygen+map already done host-side).
+run_step s13207r_3 3600 $RUN outputs/iscas89/s13207r_3_search.lbf \
+  --batch 16 --repeat 2 --orientation fused_otf
+run_step s15850r_3 3600 $RUN outputs/iscas89/s15850r_3_search.lbf \
+  --batch 16 --repeat 2 --orientation fused_otf
+
+# 7. Preset phase profiles under the pinned shapes (VERDICT r4 weak #5).
+if [ ! -s outputs/profile_p16.json ]; then
+  echo "=== profile p16 ($(date +%H:%M:%S))"; sleep 45
+  timeout 1800 python experiments/profile_fused.py --preset p16 \
+    --batch 328 2>outputs/tpu_runs/profile_p16.err \
+    | tee outputs/profile_p16.json
+fi
+if [ ! -s outputs/profile_p8.json ]; then
+  echo "=== profile p8 ($(date +%H:%M:%S))"; sleep 45
+  timeout 1800 python experiments/profile_fused.py --preset p8 \
+    --batch 512 2>outputs/tpu_runs/profile_p8.err \
+    | tee outputs/profile_p8.json
+fi
+
+echo "=== r5 chain done ($(date +%H:%M:%S))"
