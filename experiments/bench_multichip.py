@@ -37,6 +37,11 @@ def main() -> int:
                          "(scaling-efficiency study; the axon sitecustomize "
                          "overrides JAX_PLATFORMS, so the flag pins the "
                          "platform in-process)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel mesh axis: shards the matmul-"
+                         "orientation key contraction (partial external "
+                         "products meet in a psum); requires "
+                         "--orientation matmul for a sharded contraction")
     args = ap.parse_args()
 
     if args.cpu_devices:
@@ -78,11 +83,12 @@ def main() -> int:
     keys = generate_keys(params, seed=1)
     fast = prepare_fast_keys(keys, orientation=args.orientation)
 
-    mesh = make_mesh(jax.devices(), dp=n_dev, tp=1)
+    dp = n_dev // args.tp
+    mesh = make_mesh(jax.devices(), dp=dp, tp=args.tp)
     fast_s = shard_fast_keys(mesh, fast)
     fn = sharded_bootstrap(mesh, fast_s)
 
-    batch = args.batch_per_chip * n_dev
+    batch = args.batch_per_chip * dp
     rng = np.random.default_rng(2)
     values = rng.integers(0, 3, batch)
     cts = encrypt_values(keys, values, rng)
@@ -112,6 +118,8 @@ def main() -> int:
         "metric": "bootstraps_per_sec_total",
         "value": round(boots_per_sec, 1),
         "devices": n_dev,
+        "dp": dp,
+        "tp": args.tp,
         "boots_per_sec_per_chip": round(boots_per_sec / n_dev, 1),
         "batch_per_chip": args.batch_per_chip,
         "orientation": args.orientation,

@@ -18,7 +18,7 @@ run_step() {  # name timeout_s cmd...
   fi
   echo "=== ${name} ($(date +%H:%M:%S))"
   sleep 45     # let the tunneled backend settle between processes
-  timeout "$tmo" "$@" 2>"outputs/tpu_runs/${name}.err" | tail -1 \
+  timeout -k 15 "$tmo" "$@" 2>"outputs/tpu_runs/${name}.err" | tail -1 \
     | tee "outputs/tpu_runs/${name}.json"
   if [ ! -s "outputs/tpu_runs/${name}.json" ]; then
     echo "!!! ${name} produced no result (timeout/wedge?) — cooling 25 min"
@@ -28,10 +28,28 @@ run_step() {  # name timeout_s cmd...
 
 RUN="python -m tfhe_fbs_map_tpu.runtime"
 
+# 0. Tunnel probe: a trivial device op must complete within 120 s before
+#    any real step starts (r4/r5 lesson: a process that starts during the
+#    wedge window hangs forever at ~4 CPU-seconds).  On failure, cool 25
+#    minutes and retry, up to 4 times.
+probe_tunnel() {
+  timeout -k 10 120 python -c "
+import jax, numpy as np
+x = jax.numpy.ones((8, 8))
+print('probe ok', float(np.asarray((x @ x))[0, 0]))" 2>&1 | grep -q "probe ok"
+}
+for attempt in 1 2 3 4; do
+  echo "=== tunnel probe attempt ${attempt} ($(date +%H:%M:%S))"
+  if probe_tunnel; then echo "=== tunnel ok"; break; fi
+  echo "!!! tunnel wedged — cooling 25 min"
+  sleep 1500
+  [ "$attempt" = 4 ] && { echo "!!! tunnel still wedged, aborting"; exit 1; }
+done
+
 # 1. Runtime-model calibration: per-family level-step timing fit
 if [ ! -s tfhe_fbs_map_tpu/optimizer/calibration.json ]; then
   echo "=== calibrate ($(date +%H:%M:%S))"
-  timeout 3600 python experiments/calibrate_runtime.py \
+  timeout -k 15 3600 python experiments/calibrate_runtime.py \
     --nbs 1,4,16,32 --batch 8 2>outputs/tpu_runs/calibrate.err \
     | tail -1 | tee outputs/tpu_runs/calibrate.json
 fi
@@ -90,13 +108,13 @@ run_step s15850r_3 3600 $RUN outputs/iscas89/s15850r_3_search.lbf \
 # 7. Preset phase profiles under the pinned shapes (VERDICT r4 weak #5).
 if [ ! -s outputs/profile_p16.json ]; then
   echo "=== profile p16 ($(date +%H:%M:%S))"; sleep 45
-  timeout 1800 python experiments/profile_fused.py --preset p16 \
+  timeout -k 15 1800 python experiments/profile_fused.py --preset p16 \
     --batch 328 2>outputs/tpu_runs/profile_p16.err \
     | tee outputs/profile_p16.json
 fi
 if [ ! -s outputs/profile_p8.json ]; then
   echo "=== profile p8 ($(date +%H:%M:%S))"; sleep 45
-  timeout 1800 python experiments/profile_fused.py --preset p8 \
+  timeout -k 15 1800 python experiments/profile_fused.py --preset p8 \
     --batch 512 2>outputs/tpu_runs/profile_p8.err \
     | tee outputs/profile_p8.json
 fi
