@@ -28,23 +28,10 @@ run_step() {  # name timeout_s cmd...
 
 RUN="python -m tfhe_fbs_map_tpu.runtime"
 
-# 0. Tunnel probe: a trivial device op must complete within 120 s before
-#    any real step starts (r4/r5 lesson: a process that starts during the
-#    wedge window hangs forever at ~4 CPU-seconds).  On failure, cool 25
-#    minutes and retry, up to 4 times.
-probe_tunnel() {
-  timeout -k 10 120 python -c "
-import jax, numpy as np
-x = jax.numpy.ones((8, 8))
-print('probe ok', float(np.asarray((x @ x))[0, 0]))" 2>&1 | grep -q "probe ok"
-}
-for attempt in 1 2 3 4; do
-  echo "=== tunnel probe attempt ${attempt} ($(date +%H:%M:%S))"
-  if probe_tunnel; then echo "=== tunnel ok"; break; fi
-  echo "!!! tunnel wedged — cooling 25 min"
-  sleep 1500
-  [ "$attempt" = 4 ] && { echo "!!! tunnel still wedged, aborting"; exit 1; }
-done
+# NOTE r5: no tunnel pre-probe — backend init over the tunnel takes a
+# highly variable 1-5 min, so a short-timeout probe produces false
+# "wedged" verdicts and its own kill-mid-handshake churn.  Steps carry
+# generous timeouts instead; a no-result step cools 25 min.
 
 # 1. Runtime-model calibration: per-family level-step timing fit
 if [ ! -s tfhe_fbs_map_tpu/optimizer/calibration.json ]; then

@@ -68,12 +68,13 @@ def ensure_epfl(bench_dir: Path) -> None:
     circuits/generators.py EPFL_GENERATORS for the caveats."""
     from tfhe_fbs_map_tpu.frontend.circuits import EPFL_GENERATORS
     bench_dir.mkdir(parents=True, exist_ok=True)
-    if list(bench_dir.glob("*.blif")):
-        return  # real (fetched) EPFL netlists take precedence
     for name, gen in EPFL_GENERATORS.items():
+        out = bench_dir / f"{name}.blif"
+        if out.exists():
+            continue  # real (fetched) or previously regenerated files win
         circ = gen()
         circ.remove_dangling_nodes()
-        with open(bench_dir / f"{name}.blif", "w") as f:
+        with open(out, "w") as f:
             circ.to_blif(fs=f, model_name=name)
 
 

@@ -112,6 +112,8 @@ class CircuitExecutor:
             self._compile(prog)
         self._sharded_step = None
         self._local_step = None
+        self._local_scan = None
+        self._scan_cache: dict = {}
         self._plan_device = None
         if mesh is not None:
             assert "dp" in mesh.axis_names, "executor mesh needs a dp axis"
@@ -657,6 +659,124 @@ class CircuitExecutor:
 
         return step
 
+    def _build_local_scan(self):
+        """Jitted multi-level step: lax.scan over a stack of consecutive
+        same-shape levels.
+
+        One jitted call per level costs a dispatch round trip over the
+        tunneled backend; thin-deep programs (ISCAS circuits at small
+        batch, the 128-level EPFL adder) are dispatch-dominated.  Levels
+        whose plan tensors share shapes (the power-of-two bucketing makes
+        that the common case) are stacked on a leading axis and executed
+        as ONE dispatched scan."""
+        import functools
+
+        import jax
+
+        keys, fast = self.keys, self.fast_keys
+        if self.staged:
+            sk = keys
+            if fast is not None:
+                f1, f2 = fast
+                from ..ops.blind_rotate import FastKeys
+                key_args = (f1.bsk_kernels, f1.ksk_limbs,
+                            f2.bsk_kernels, f2.ksk_limbs)
+                o1, o2 = f1.orientation, f2.orientation
+
+                def local(ns, b1, kl1, b2, kl2, buf, *stacked):
+                    fk1 = FastKeys(sk.keys1.params, b1, kl1, o1)
+                    fk2 = FastKeys(sk.keys2.params, b2, kl2, o2)
+
+                    def body(b, xs):
+                        return _staged_level_step(sk.keys1, sk.keys2, fk1,
+                                                  fk2, ns, b, *xs), None
+                    buf, _ = jax.lax.scan(body, buf, stacked)
+                    return buf
+            else:
+                key_args = (sk.keys1.bsk, sk.keys1.ksk,
+                            sk.keys2.bsk, sk.keys2.ksk)
+
+                def local(ns, b1, kl1, b2, kl2, buf, *stacked):
+                    kk1 = TFHEKeys(params=sk.keys1.params, lwe_key=None,
+                                   glwe_key=None, bsk=b1, ksk=kl1)
+                    kk2 = TFHEKeys(params=sk.keys2.params, lwe_key=None,
+                                   glwe_key=None, bsk=b2, ksk=kl2)
+
+                    def body(b, xs):
+                        return _staged_level_step(kk1, kk2, None, None, ns,
+                                                  b, *xs), None
+                    buf, _ = jax.lax.scan(body, buf, stacked)
+                    return buf
+
+            cache = {}
+
+            def scan_step(n_splits, buf, *stacked):
+                if n_splits not in cache:
+                    cache[n_splits] = jax.jit(
+                        functools.partial(local, n_splits))
+                return cache[n_splits](*key_args, buf, *stacked)
+
+            return scan_step
+
+        if fast is not None:
+            from ..ops.blind_rotate import FastKeys
+            key_args = (fast.bsk_kernels, fast.ksk_limbs)
+            orientation = fast.orientation
+
+            def local(bsk, ksk, buf, *stacked):
+                fk = FastKeys(keys.params, bsk, ksk, orientation)
+
+                def body(b, xs):
+                    return _level_step(keys, fk, b, *xs), None
+                buf, _ = jax.lax.scan(body, buf, stacked)
+                return buf
+        else:
+            key_args = (keys.bsk, keys.ksk)
+
+            def local(bsk, ksk, buf, *stacked):
+                k = TFHEKeys(params=keys.params, lwe_key=None,
+                             glwe_key=None, bsk=bsk, ksk=ksk)
+
+                def body(b, xs):
+                    return _level_step(k, None, b, *xs), None
+                buf, _ = jax.lax.scan(body, buf, stacked)
+                return buf
+
+        jitted = jax.jit(local)
+
+        def scan_step(buf, *stacked):
+            return jitted(*key_args, buf, *stacked)
+
+        return scan_step
+
+    def _scan_groups_from(self, start: int):
+        """Stack consecutive same-shape levels (from ``start``) for the
+        scanned executor: list of (n_splits | None, tuple_of_stacked)."""
+        plans = self._plan_arrays()
+        groups: list = []
+        cur_key, cur = None, []
+        for lv in range(start, len(self.levels)):
+            plan = self.levels[lv]
+            if self.staged:
+                key = (plan.n_splits,) + tuple(x.shape
+                                               for x in plans[lv])
+            else:
+                key = tuple(x.shape for x in plans[lv])
+            if key != cur_key and cur:
+                groups.append((cur_key, cur))
+                cur = []
+            cur_key = key
+            cur.append(plans[lv])
+        if cur:
+            groups.append((cur_key, cur))
+        out = []
+        for key, members in groups:
+            stacked = tuple(jnp.stack([m[i] for m in members])
+                            for i in range(len(members[0])))
+            ns = key[0] if self.staged else None
+            out.append((ns, stacked, len(members)))
+        return out
+
     def _plan_arrays(self):
         """Per-level plan tensors as device arrays, uploaded ONCE.
 
@@ -755,6 +875,20 @@ class CircuitExecutor:
                             buf = jax.device_put(buf, self._buf_sharding())
             except FileNotFoundError:
                 pass
+        if self._sharded_step is None and checkpoint is None:
+            # scanned path: consecutive same-shape levels run as one
+            # dispatched lax.scan (dispatch-dominated thin-deep programs)
+            if self._local_scan is None:
+                self._local_scan = self._build_local_scan()
+            if self._scan_cache.get("start") != start:
+                self._scan_cache = {"start": start,
+                                    "groups": self._scan_groups_from(start)}
+            for ns, stacked, _n in self._scan_cache["groups"]:
+                if self.staged:
+                    buf = self._local_scan(ns, buf, *stacked)
+                else:
+                    buf = self._local_scan(buf, *stacked)
+            return buf
         step = self._sharded_step
         if step is None:
             if self._local_step is None:
