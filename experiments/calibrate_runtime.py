@@ -40,6 +40,8 @@ FAMILIES = {
     "krey10": (10, 2, 512, 4, 5, 7, 2, 642),
     "p16": (16, 1, 1024, 3, 6, 6, 2, 642),
     "p32": (32, 1, 2048, 3, 7, 7, 2, 706),
+    # the optimize(22, 26) pick measured on s9234r (kN = 2048, heavy)
+    "p22": (22, 2, 1024, 3, 8, 8, 2, 738),
 }
 
 
@@ -179,7 +181,12 @@ def main() -> int:
         points = json.loads(raw_path.read_text())["points"]
     else:
         nbs = [int(x) for x in args.nbs.split(",")]
+        # merge with prior sessions: re-timed families replace their old
+        # points, others keep them (incremental family top-ups)
         points = []
+        if raw_path.is_file():
+            points = [p for p in json.loads(raw_path.read_text())["points"]
+                      if p["family"] not in args.families]
         for name in args.families:
             points.extend(time_family(name, nbs, args.batch, args.iters))
             raw_path.write_text(json.dumps(dict(points=points), indent=1))
