@@ -21,6 +21,21 @@ run_step kreyvium_stream_v1_3 2400 $RUN \
 run_step aes_128_4 3000 $RUN outputs/bristol/aes_128_4_search.lbf \
   --batch 16 --repeat 2 --orientation fused_otf
 
+# batch-64 provenance re-runs the main chain skipped (their r4 batch-16
+# JSONs are archived as *_b16r4.json)
+run_step c499r_3 2400 $RUN outputs/iscas85/c499r_3_search.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf
+run_step c2670r_4 2400 $RUN outputs/iscas85/c2670r_4_searchdc.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf
+run_step c3540r_10 2400 $RUN outputs/iscas85/c3540r_10_searchdc.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf
+run_step s1423r_3 2400 $RUN outputs/iscas89/s1423r_3_search.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf
+run_step s838r_10 2400 $RUN outputs/iscas89/s838r_10_search.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf
+run_step s9234r_3 2400 $RUN outputs/iscas89/s9234r_3_search.lbf \
+  --batch 64 --repeat 2 --orientation fused_otf
+
 # Full PIPELINED recalibration (all 6 families, chained-call timing —
 # the first calibration forced a readback per call and over-measured
 # dispatch; see calibrate_runtime.py).  Overwrites calibration.json.
