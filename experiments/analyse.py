@@ -361,7 +361,7 @@ def main() -> int:
                 key, mark = table_key(b)
                 base_s, autohog_s = table[key]
                 ours_s = _row_cost(r) * 1e-6
-                if ours_s != ours_s:
+                if ours_s != ours_s or ours_s <= 0:
                     continue
                 meas = MEASURED.get(b)
                 meas_txt = (f" | measured {meas[0]:.4f}s "

@@ -842,7 +842,7 @@ _cnt8 = gen_counter(8, 2)                  # s208-class (8 DFFs, 96 gates)
 # 6/~650) ...
 _s382 = gen_pla_fsm(21, 3, 6, 24, 3, 3, seed=382)
 _s400 = gen_pla_fsm(21, 3, 6, 24, 3, 3, seed=400)
-_s444 = gen_pla_fsm(21, 3, 6, 27, 3, 3, seed=444)
+_s444 = gen_pla_fsm(21, 3, 6, 27, 3, 3, seed=4440)  # seed 444 degenerates to a constant circuit
 _s386 = gen_pla_fsm(6, 7, 7, 26, 3, 3, seed=386)
 _s510 = gen_pla_fsm(6, 19, 7, 30, 3, 3, seed=510)
 _s820 = gen_pla_fsm(5, 18, 19, 40, 4, 4, seed=820)
